@@ -1,0 +1,196 @@
+"""SeparableNetwork: S/T disentangled forecaster with an on-chip rollout.
+
+TPU-native re-design of the reference core model
+(``var_sep/networks/model.py:20-89``).  Differences that matter:
+
+* the reference's Python rollout loop (``model.py:78-83``) is a single
+  ``lax.scan`` over the residual integrator, so an arbitrarily long horizon
+  compiles to one fused on-chip loop;
+* frames are *not* decoded step-by-step: all T codes produced by the scan
+  are folded into the batch axis and decoded in one large batched pass
+  (``decode_mode="batched"``), which keeps the MXU busy with
+  (horizon x batch)-sized convolutions.  ``decode_mode="stepwise"``
+  reproduces the reference's per-step decoding (only observable through
+  train-mode BatchNorm batch statistics);
+* S (and its skip feature maps) is computed once and broadcast across the
+  rollout, exactly as in the reference (``model.py:57-64``).
+
+Content-swap hooks (``init_s_code`` / ``init_t_code``, ``model.py:52-60``)
+are preserved; when ``skipco`` is set, the returned S code is the full
+``(code, skips)`` pytree so a swap round-trips (the reference returns the
+bare code, which breaks its own swap path for skipco models).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _tile_leading(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(B, ...) -> (n*B, ...) by broadcasting a new leading axis."""
+    return jnp.broadcast_to(x[None], (n,) + x.shape).reshape((n * x.shape[0],) + x.shape[1:])
+
+
+class SeparableNetwork(nn.Module):
+    Es: nn.Module
+    Et: nn.Module
+    t_resnet: nn.Module
+    decoder: nn.Module
+    nt_cond: int
+    skipco: bool = False
+    decode_mode: str = "batched"
+    remat: bool = False
+
+    # -- encoding ------------------------------------------------------
+    def encode_s(self, cond: jnp.ndarray, train: bool = False):
+        """Spatial code of a conditioning window; ``(code, skips)`` if skipco."""
+        return self.Es(cond, return_skip=self.skipco, train=train)
+
+    def encode_t(self, cond: jnp.ndarray, train: bool = False):
+        return self.Et(cond, train=train)
+
+    # -- rollout -------------------------------------------------------
+    def _integrate(self, t_code: jnp.ndarray, n_forecast: int, train: bool):
+        """Scan the Euler integrator ``n_forecast - 1`` times.
+
+        Returns ``t_codes`` stacked (n, B, ...) and residuals
+        (n-1, n_blocks, B, ...)."""
+        if n_forecast <= 1:
+            return t_code[None], None
+
+        def step(mdl, carry, _):
+            t_new, res = mdl.t_resnet(carry, train=train)
+            return t_new, (t_new, res)
+
+        if self.remat:
+            step = nn.remat(step, prevent_cse=False)
+        if train:
+            collections = dict(variable_broadcast="params", variable_carry="batch_stats")
+        else:
+            collections = dict(variable_broadcast=["params", "batch_stats"])
+        scan = nn.scan(step, length=n_forecast - 1, split_rngs={"params": False},
+                       **collections)
+        _, (t_rest, residuals) = scan(self, t_code, None)
+        t_codes = jnp.concatenate([t_code[None], t_rest], axis=0)
+        return t_codes, residuals
+
+    def _decode_all(self, s_code, skips, t_codes: jnp.ndarray, train: bool):
+        """Decode every (S, T_t) pair.  t_codes: (n, B, ...) -> (B, n, *frame)."""
+        n, b = t_codes.shape[0], t_codes.shape[1]
+        if self.decode_mode == "batched" or not train:
+            t_flat = t_codes.reshape((n * b,) + t_codes.shape[2:])
+            s_flat = _tile_leading(s_code, n)
+            skips_flat = None
+            if skips is not None:
+                skips_flat = [_tile_leading(s, n) for s in skips]
+            frames = self.decoder(s_flat, t_flat, skip=skips_flat, train=train)
+            frames = frames.reshape((n, b) + frames.shape[1:])
+            return jnp.moveaxis(frames, 0, 1)
+        # stepwise: reference-parity BatchNorm batch statistics (per step).
+        frames = [self.decoder(s_code, t_codes[i], skip=skips, train=train)
+                  for i in range(n)]
+        return jnp.stack(frames, axis=1)
+
+    # -- public API ----------------------------------------------------
+    def get_forecast(
+        self,
+        cond: jnp.ndarray,
+        n_forecast: int,
+        init_t_code: Optional[jnp.ndarray] = None,
+        init_s_code: Any = None,
+        train: bool = False,
+    ):
+        """Forecast ``n_forecast`` frames (the first is the decode of T_0).
+
+        Returns ``(forecasts, t_codes, s_full, t_residuals)`` with
+        ``forecasts``: (B, n, *frame), ``t_codes``: (B, n, *code),
+        ``s_full``: S as produced by the encoder (``(code, skips)`` when
+        skipco), ``t_residuals``: (n-1, n_blocks, B, *code) or None.
+        """
+        s_full = self.encode_s(cond, train=train) if init_s_code is None else init_s_code
+        if self.skipco:
+            s_code, skips = s_full
+        else:
+            s_code, skips = s_full, None
+        t_code = self.encode_t(cond, train=train) if init_t_code is None else init_t_code
+
+        t_codes, residuals = self._integrate(t_code, n_forecast, train)
+        forecasts = self._decode_all(s_code, skips, t_codes, train)
+        return forecasts, jnp.moveaxis(t_codes, 0, 1), s_full, residuals
+
+    def __call__(self, cond: jnp.ndarray, n_forecast: int, train: bool = False):
+        return self.get_forecast(cond, n_forecast, train=train)
+
+    # -- training objective -------------------------------------------
+    def compute_losses(
+        self,
+        cond: jnp.ndarray,
+        target: jnp.ndarray,
+        t_random: jnp.ndarray,
+        offset: int,
+        lamb_ae: float,
+        lamb_s: float,
+        lamb_t: float,
+        lamb_pred: float,
+        average_tloss: bool = False,
+        train: bool = True,
+    ):
+        """Four-term objective of the reference trainer (``train.py:38-149``).
+
+        ``t_random`` is a traced int32 scalar in ``[nt_cond, T)`` (offset=0)
+        or ``[nt_cond, T]`` (offset=nt_cond), sampled by the caller — the
+        JAX-PRNG replacement for the reference's per-step host
+        ``np.random.randint`` (``train.py:72-76``).
+        """
+        f32 = jnp.float32
+        nt_cond = self.nt_cond
+        full = jnp.concatenate([cond, target], axis=1)  # (B, T, *frame)
+
+        # -- autoencoding (train.py:45-88) --
+        data_old = full[:, :nt_cond]
+        data_new = full[:, -nt_cond:]
+        s_old_full = self.encode_s(data_old, train=train)
+        s_new_full = self.encode_s(data_new, train=train)
+        window = jax.lax.dynamic_slice_in_dim(full, t_random - nt_cond, nt_cond, axis=1)
+        t_code_random = self.encode_t(window, train=train)
+        if self.skipco:
+            s_old, skips = s_old_full
+        else:
+            s_old, skips = s_old_full, None
+        recon = self.decoder(s_old, t_code_random, skip=skips, train=train)
+        supervision = jax.lax.dynamic_index_in_dim(full, t_random - offset, axis=1,
+                                                   keepdims=False)
+        ae = jnp.mean((supervision.astype(f32) - recon.astype(f32)) ** 2)
+
+        # -- S invariance (train.py:38-42): mean squared difference over the
+        # concatenation of code and skip tensors --
+        old_leaves = jax.tree_util.tree_leaves(s_old_full)
+        new_leaves = jax.tree_util.tree_leaves(s_new_full)
+        sq = sum(jnp.sum((a.astype(f32) - b.astype(f32)) ** 2)
+                 for a, b in zip(old_leaves, new_leaves))
+        count = sum(a.size for a in old_leaves)
+        s_inv = sq / count
+
+        # -- forecast (train.py:132-140) --
+        nt_pred = target.shape[1]
+        forecasts, t_codes, _, _ = self.get_forecast(
+            cond, nt_pred + offset, init_s_code=s_old_full, train=train)
+        fc_target = full if offset != 0 else full[:, nt_cond:]
+        forecast = jnp.mean((forecasts.astype(f32) - fc_target.astype(f32)) ** 2)
+
+        # -- T regularization (train.py:145-149) --
+        t0 = t_codes[:, 0].astype(f32)
+        if average_tloss:
+            t_reg = 0.5 * jnp.mean(t0 ** 2)
+        else:
+            t_reg = 0.5 * jnp.mean(jnp.sum(t0.reshape(t0.shape[0], -1) ** 2, axis=1))
+
+        total = (lamb_ae * ae + lamb_s * s_inv + lamb_pred * forecast
+                 + lamb_t * t_reg)
+        metrics = {"loss": total, "ae": ae, "s_inv": s_inv,
+                   "forecast": forecast, "t_reg": t_reg}
+        return total, metrics
