@@ -78,9 +78,15 @@ def test_mesh_step_runs_and_matches_semantics():
 def test_mesh_and_single_device_agree():
     """The sharded step must be numerically equivalent to the single-device
     step (global-batch semantics)."""
+    import optax
+
     cfg = wave_cfg()
     model = build_separable_network(cfg)
-    tx = make_optimizer(cfg, 10)
+    # SGD: updates are linear in the gradients, so sharded-vs-single float
+    # noise stays tiny.  (Adam divides by sqrt(v): for params whose gradient
+    # is ~0, reduction-order noise flips the update sign and produces O(lr)
+    # param differences — expected, and excluded from this equivalence test.)
+    tx = optax.sgd(1e-2)
     batch = _batch(cfg, np.random.default_rng(1))
 
     s1 = create_train_state(model, cfg, tx)
@@ -98,7 +104,7 @@ def test_mesh_and_single_device_agree():
     assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s8.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_overfit_fixed_batch():
