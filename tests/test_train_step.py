@@ -116,7 +116,8 @@ def test_overfit_fixed_batch():
     rng = np.random.default_rng(2)
     t = np.arange(cfg.nt_cond + cfg.nt_pred)[None, :, None, None, None]
     xx = np.linspace(0, 2 * np.pi, 64)
-    field = np.sin(xx[None, None, :, None, None] + 0.3 * t)
+    field = (np.sin(xx[None, None, :, None, None] + 0.3 * t)
+             * np.cos(xx[None, None, None, :, None]))
     seq = (0.5 + 0.4 * field).astype(np.float32)
     seq = np.broadcast_to(seq, (cfg.batch_size,) + seq.shape[1:])
     cond = jnp.asarray(seq[:, :cfg.nt_cond])
