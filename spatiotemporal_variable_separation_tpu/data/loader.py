@@ -1,0 +1,104 @@
+"""Host data pipeline: shuffled batching with background prefetch.
+
+TPU-native replacement for the reference's ``torch.utils.data.DataLoader``
+with worker processes (``var_sep/main.py:111-114``): a thread pool assembles
+numpy batches ahead of the training loop while the TPU computes, and
+``prefetch_to_device`` keeps N batches in flight on device so host->HBM
+transfers overlap with the train step."""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+
+class Batcher:
+    """Iterate (cond, target) minibatches over a map-style dataset.
+
+    ``dataset`` needs ``__len__`` and ``__getitem__ -> tuple of arrays``.
+    Batches are stacked numpy arrays.  ``drop_last`` mirrors DataLoader's
+    default False only for eval; training drops ragged batches so shapes
+    stay static for jit."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 num_workers: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.num_workers = num_workers
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def _assemble(self, batch_idx: np.ndarray):
+        items = [self.dataset[int(i)] for i in batch_idx]
+        return tuple(np.stack(parts) for parts in zip(*items))
+
+    def __iter__(self) -> Iterator:
+        idx = self._indices()
+        n = len(self)
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size] for i in range(n)]
+        if not self.drop_last and len(self.dataset) % self.batch_size and n:
+            pass  # last ragged batch already included by __len__ ceil
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self._assemble(b)
+            return
+        # Background assembly: a bounded queue keeps `num_workers` batches
+        # in flight ahead of the consumer.
+        q: queue.Queue = queue.Queue(maxsize=self.num_workers)
+        stop = object()
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(self._assemble(b))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None) -> Iterator:
+    """Keep ``size`` batches resident on device ahead of the consumer.
+
+    With ``sharding`` (e.g. a batch NamedSharding over the data mesh axis),
+    batches are placed sharded; otherwise on the default device."""
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
