@@ -1,0 +1,27 @@
+"""WaveEq dataset generation CLI
+(reference ``python -m var_sep.preprocessing.wave.gen_wave`` — but the
+integration runs on device; 300 sequences take seconds, not hours)."""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="WaveEq preprocessing (TPU)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--data_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--seq_len", type=int, metavar="LEN", default=300)
+    p.add_argument("--seed", type=int, metavar="SEED", default=42)
+    p.add_argument("--frame_size", type=int, metavar="SIZE", default=64)
+    p.add_argument("--size", type=int, metavar="SIZE", default=300)
+    p.add_argument("--dt", type=float, metavar="DT", default=0.001)
+    args = p.parse_args(argv)
+
+    from spatiotemporal_variable_separation_tpu.data.wave_eq import generate_dataset
+
+    generate_dataset(args.data_dir, args.size, args.seq_len, args.frame_size,
+                     args.dt, args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""Moving MNIST test-set generation CLI
+(reference ``python -m var_sep.preprocessing.mnist.make_test_set``; the
+README's module path ``var_sep.preprocessing.mmnist.make_test_set`` is a
+documented typo).  Same seed -> identical latents/labels (vectorized)."""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="Moving MNIST testing set generation",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--data_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--seq_len", type=int, metavar="LEN", default=100)
+    p.add_argument("--seed", type=int, metavar="SEED", default=42)
+    p.add_argument("--digits", type=int, metavar="NUM", default=2)
+    p.add_argument("--frame_size", type=int, metavar="SIZE", default=64)
+    p.add_argument("--max_speed", type=int, metavar="SPEED", default=4)
+    args = p.parse_args(argv)
+
+    from spatiotemporal_variable_separation_tpu.data.moving_mnist import make_test_set
+
+    path = make_test_set(args.data_dir, args.seq_len, args.seed, args.digits,
+                         args.frame_size, args.max_speed)
+    print(f"Saved testset at {path}")
+
+
+if __name__ == "__main__":
+    main()

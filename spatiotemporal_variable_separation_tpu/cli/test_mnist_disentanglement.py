@@ -1,0 +1,27 @@
+"""Moving MNIST disentanglement CLI
+(reference ``python -m var_sep.test.mnist.test_disentanglement``)."""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="varsep-tpu Moving MNIST content-swap testing")
+    p.add_argument("--data_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--xp_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--epoch", type=int, metavar="EPOCH", default=None)
+    p.add_argument("--batch_size", type=int, metavar="BATCH", default=16)
+    p.add_argument("--nt_pred", type=int, metavar="PRED", required=True)
+    p.add_argument("--test_seed", type=int, metavar="SEED", default=1)
+    args = p.parse_args(argv)
+
+    from spatiotemporal_variable_separation_tpu.eval.mnist_swap import evaluate
+
+    means = evaluate(args.xp_dir, args.data_dir, args.nt_pred, args.batch_size,
+                     args.test_seed, args.epoch)
+    print("Results:")
+    for k, v in means.items():
+        print(k, v)
+
+
+if __name__ == "__main__":
+    main()

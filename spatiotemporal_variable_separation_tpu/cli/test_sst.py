@@ -1,0 +1,26 @@
+"""SST eval CLI (reference ``python -m var_sep.test.sst.test``)."""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="varsep-tpu SST testing")
+    p.add_argument("--data_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--xp_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--epoch", type=int, metavar="EPOCH", default=None)
+    p.add_argument("--batch_size", type=int, metavar="BATCH", default=64)
+    p.add_argument("--zones", type=int, nargs="+", default=list(range(17, 21)))
+    args = p.parse_args(argv)
+
+    from spatiotemporal_variable_separation_tpu.eval.sst import evaluate
+
+    means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch,
+                     zones=args.zones)
+    print(f"MSE at t+10: {means['mse_t10']}")
+    print(f"MSE at t+6: {means['mse_t6']}")
+    print(f"SSIM at t+10: {means['ssim_t10']}")
+    print(f"SSIM at t+6: {means['ssim_t6']}")
+
+
+if __name__ == "__main__":
+    main()

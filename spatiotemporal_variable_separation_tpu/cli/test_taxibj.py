@@ -1,0 +1,21 @@
+"""TaxiBJ eval CLI (reference ``python -m var_sep.test.taxibj.test``)."""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="varsep-tpu TaxiBJ testing")
+    p.add_argument("--data_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--xp_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--epoch", type=int, metavar="EPOCH", default=None)
+    p.add_argument("--batch_size", type=int, metavar="BATCH", default=128)
+    args = p.parse_args(argv)
+
+    from spatiotemporal_variable_separation_tpu.eval.taxibj import evaluate
+
+    means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch)
+    print(f"MSE at t+4: {means['mse_t4']}")
+
+
+if __name__ == "__main__":
+    main()

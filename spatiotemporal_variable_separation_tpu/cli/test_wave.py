@@ -1,0 +1,21 @@
+"""WaveEq eval CLI (reference ``python -m var_sep.test.wave.test``)."""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="varsep-tpu WaveEq testing")
+    p.add_argument("--data_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--xp_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--epoch", type=int, metavar="EPOCH", default=None)
+    p.add_argument("--batch_size", type=int, metavar="BATCH", default=256)
+    args = p.parse_args(argv)
+
+    from spatiotemporal_variable_separation_tpu.eval.wave import evaluate
+
+    means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch)
+    print(f"MSE at t+40: {means['mse_t40']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Dataset dispatch (reference ``var_sep/main.py:70-102``) and training
+iterators."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from spatiotemporal_variable_separation_tpu.core.config import ExperimentConfig
+from spatiotemporal_variable_separation_tpu.data.loader import Batcher
+
+
+def make_train_dataset(cfg: ExperimentConfig, synthetic_fallback: bool = False):
+    seq_len = cfg.nt_cond + cfg.nt_pred
+    if cfg.data == "mnist":
+        from spatiotemporal_variable_separation_tpu.data.moving_mnist import MovingMNIST
+
+        return MovingMNIST.make_dataset(cfg.data_dir, 64, cfg.nt_cond, seq_len,
+                                        4, True, cfg.n_object, train=True,
+                                        seed=cfg.seed,
+                                        synthetic_fallback=synthetic_fallback)
+    if cfg.data == "chairs":
+        from spatiotemporal_variable_separation_tpu.data.chairs import Chairs
+
+        return Chairs(True, cfg.data_dir, cfg.nt_cond, seq_len)
+    if cfg.data == "taxibj":
+        from spatiotemporal_variable_separation_tpu.data.taxibj import TaxiBJ
+
+        return TaxiBJ.make_datasets(cfg.data_dir, len_closeness=seq_len,
+                                    nt_cond=cfg.nt_cond)[0]
+    if cfg.data == "sst":
+        from spatiotemporal_variable_separation_tpu.data.sst import SST
+
+        return SST(cfg.data_dir, cfg.nt_cond, cfg.nt_pred, True, zones=cfg.zones)
+    if cfg.data == "wave":
+        from spatiotemporal_variable_separation_tpu.data.wave_eq import WaveEq
+
+        return WaveEq(cfg.data_dir, cfg.nt_cond, seq_len, True, cfg.downsample)
+    if cfg.data == "wave_partial":
+        from spatiotemporal_variable_separation_tpu.data.wave_eq import WaveEqPartial
+
+        return WaveEqPartial(cfg.data_dir, cfg.nt_cond, seq_len, True,
+                             cfg.downsample, cfg.n_wave_points)
+    raise ValueError(f"unknown dataset {cfg.data!r}")
+
+
+def steps_per_epoch(cfg: ExperimentConfig, dataset) -> int:
+    if cfg.steps_per_epoch is not None:
+        return cfg.steps_per_epoch
+    return max(1, len(dataset) // cfg.batch_size)
+
+
+def epoch_iterator(cfg: ExperimentConfig, dataset, epoch: int) -> Iterator:
+    """Yield (cond, target) numpy batches for one epoch.
+
+    Datasets with a vectorized ``generate_batch`` (Moving MNIST) use it with
+    a background prefetch thread; map-style datasets go through the
+    shuffled Batcher."""
+    n_steps = steps_per_epoch(cfg, dataset)
+    if hasattr(dataset, "generate_batch"):
+        nt_cond = cfg.nt_cond
+
+        def gen():
+            for _ in range(n_steps):
+                batch = dataset.generate_batch(cfg.batch_size)
+                yield batch[:, :nt_cond], batch[:, nt_cond:]
+
+        if cfg.num_workers <= 0:
+            yield from gen()
+            return
+        q: queue.Queue = queue.Queue(maxsize=max(2, cfg.num_workers))
+        stop = object()
+
+        def producer():
+            try:
+                for item in gen():
+                    q.put(item)
+            finally:
+                q.put(stop)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+    else:
+        batcher = Batcher(dataset, cfg.batch_size, shuffle=True,
+                          seed=cfg.seed + epoch, drop_last=True,
+                          num_workers=cfg.num_workers)
+        yield from batcher

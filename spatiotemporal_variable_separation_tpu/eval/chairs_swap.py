@@ -1,0 +1,82 @@
+"""3D Chairs disentanglement evaluation
+(reference ``var_sep/test/chairs/test_disentanglement.py``).
+
+For each test index: pick a random *content* chair at a random start, take
+S from it; dynamics come from the canonical test sequence at that index;
+the ground-truth swap is the content chair rendered with the test
+sequence's start id (single object, so the best-over-permutations metric
+reduces to a plain metric)."""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
+from spatiotemporal_variable_separation_tpu.data.chairs import Chairs
+from spatiotemporal_variable_separation_tpu.eval.common import Evaluator, pixel_metrics
+
+
+class SwapDataset(Chairs):
+    """(``test_disentanglement.py:36-49``)"""
+
+    def __init__(self, train, data_root, nt_cond, rng: np.random.RandomState,
+                 seq_len=20, image_size=64):
+        super().__init__(train, data_root, nt_cond, seq_len=seq_len,
+                         image_size=image_size)
+        self._rng = rng
+
+    def __getitem__(self, index):
+        idx_content = self._rng.randint(self.stop_idx - self.start_idx)
+        id_st_content = self._rng.randint(self.max_length - self.seq_len)
+        seq = self.get_sequence(index, chosen_idx=idx_content,
+                                chosen_id_st=id_st_content).astype(np.float32) / 255.0
+        seq_swap = self.get_sequence(index, chosen_idx=idx_content
+                                     ).astype(np.float32) / 255.0
+        return (seq[: self.nt_cond], seq[self.nt_cond:],
+                seq_swap[: self.nt_cond], seq_swap[self.nt_cond:])
+
+
+def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
+             test_seed: int = 1, epoch: Optional[int] = None,
+             max_batches: Optional[int] = None, model_bundle=None) -> Dict[str, float]:
+    if model_bundle is None:
+        model, variables, cfg = load_for_eval(
+            xp_dir, name=str(epoch) if epoch else None,
+            overrides=dict(nt_pred=nt_pred, data_dir=data_dir))
+    else:
+        model, variables, cfg = model_bundle
+    ev = Evaluator(model, variables)
+    nt_cond = cfg.nt_cond
+    nt_test = nt_cond + nt_pred
+    rng = np.random.RandomState(test_seed)
+
+    test_set = Chairs(False, data_dir, nt_cond, seq_len=nt_test)
+    swap_set = SwapDataset(False, data_dir, nt_cond, rng, seq_len=nt_test)
+
+    results = defaultdict(list)
+    n = len(test_set)
+    n_batches = (n + batch_size - 1) // batch_size
+    if max_batches:
+        n_batches = min(n_batches, max_batches)
+    for b in range(n_batches):
+        idx = list(range(b * batch_size, min((b + 1) * batch_size, n)))
+        swap_items = [swap_set[i] for i in idx]
+        x_cond = np.stack([it[0] for it in swap_items])     # content sequence
+        gt_swap = np.stack([it[3] for it in swap_items])    # content w/ test dynamics
+
+        _, s_code = ev.forecast(x_cond, nt_test)
+        test_cond = np.stack([test_set[i][0] for i in idx])
+        swap_pred = np.asarray(
+            ev.forecast(test_cond, nt_test, init_s_code=s_code)[0][:, nt_cond:],
+            np.float32)
+        for k, v in pixel_metrics(swap_pred, gt_swap).items():
+            results[k].append(v)
+
+    means = {k: float(np.concatenate(v).mean()) for k, v in results.items()}
+    np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"),
+                        **{k: np.concatenate(v) for k, v in results.items()})
+    return means

@@ -1,0 +1,72 @@
+"""Shared evaluation machinery: jitted batched rollouts + metric assembly.
+
+The reference evaluates with per-batch (or per-sample!) Python rollouts
+(``test/mnist/test.py:110-147``, ``test/taxibj/test.py:44-56``); here a
+single jitted forecast function (scan rollout + one batched decode) is
+reused across batches, and all three pixel metrics come out of one fused
+computation."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spatiotemporal_variable_separation_tpu.ops.metrics import mse_per_frame, psnr_from_mse
+from spatiotemporal_variable_separation_tpu.ops.ssim import ssim_per_frame
+
+
+class Evaluator:
+    """Wraps (model, variables) with jit-cached forecast/metric functions."""
+
+    def __init__(self, model, variables: dict):
+        self.model = model
+        self.variables = variables
+
+        @partial(jax.jit, static_argnames=("n_forecast",))
+        def _forecast(variables, cond, n_forecast):
+            fc, t_codes, s, _ = model.apply(variables, cond, n_forecast,
+                                            train=False,
+                                            method=model.get_forecast)
+            return fc, t_codes, s
+
+        @partial(jax.jit, static_argnames=("n_forecast",))
+        def _forecast_with_s(variables, cond, s_code, n_forecast):
+            fc, _, _, _ = model.apply(variables, cond, n_forecast, None, s_code,
+                                      False, method=model.get_forecast)
+            return fc
+
+        self._forecast = _forecast
+        self._forecast_with_s = _forecast_with_s
+
+    def forecast(self, cond: np.ndarray, n_forecast: int,
+                 init_s_code=None) -> Tuple[jnp.ndarray, Any]:
+        cond = jnp.asarray(cond)
+        if init_s_code is None:
+            fc, _, s = self._forecast(self.variables, cond, n_forecast)
+            return fc, s
+        fc = self._forecast_with_s(self.variables, cond, init_s_code, n_forecast)
+        return fc, init_s_code
+
+def pixel_metrics(pred: jnp.ndarray, gt: jnp.ndarray,
+                  max_val: float = 1.0) -> Dict[str, np.ndarray]:
+    """Per-sequence MSE / PSNR / SSIM (reference ``test/mnist/test.py:136-142``:
+    spatial mean, then channel mean, then time mean)."""
+    mse = mse_per_frame(pred, gt)  # (B, T, C)
+    psnr = psnr_from_mse(mse, max_val)
+    ssim = ssim_per_frame(pred, gt, max_val)
+    return {
+        "mse": np.asarray(mse.mean(axis=(1, 2))),
+        "psnr": np.asarray(psnr.mean(axis=(1, 2))),
+        "ssim": np.asarray(ssim.mean(axis=(1, 2))),
+    }
+
+
+def to_uint8_nchw_last(x: np.ndarray) -> np.ndarray:
+    """Internal (B, T, H, W, C) floats -> the reference's archived
+    (B, T, H, W, C) uint8 layout (they permute NCHW->NHWC before saving)."""
+    return np.clip(np.asarray(x) * 255.0, 0, 255).astype(np.uint8)

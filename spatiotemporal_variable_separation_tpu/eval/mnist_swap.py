@@ -1,0 +1,118 @@
+"""Moving MNIST disentanglement evaluation
+(reference ``var_sep/test/mnist/test_disentanglement.py``).
+
+Protocol: the stored test-set latents are replayed with *permuted* digit
+images.  S is extracted from a reversed-index composite (new digit
+identities), dynamics come from the canonical test video, and the
+prediction is scored against every digit-to-trajectory assignment of the
+ground truth, keeping the best (min MSE / max PSNR / max SSIM) —
+``test_disentanglement.py:173-184``."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
+from spatiotemporal_variable_separation_tpu.data.moving_mnist import (
+    MovingMNIST,
+    composite,
+    load_mnist,
+)
+from spatiotemporal_variable_separation_tpu.eval.common import Evaluator, pixel_metrics
+
+
+class SwapDataset:
+    """Replays stored test latents with permuted digits
+    (``test_disentanglement.py:53-90``)."""
+
+    def __init__(self, data_dir: str, seq_len: int, nt_cond: int, n_object: int,
+                 rng: np.random.RandomState, images: Optional[np.ndarray] = None):
+        self.seq_len = seq_len
+        self.nt_cond = nt_cond
+        self.n_object = n_object
+        self.frame_size = 64
+        self.digits_permutation = rng.permutation(10000)
+        lat = np.load(os.path.join(data_dir, f"mmnist_test_{n_object}digits_64.npz"),
+                      allow_pickle=True)["latents"]  # (T, N, digits, 4)
+        self.trajectories = lat
+        if images is None:
+            images, _ = load_mnist(data_dir, train=False)
+        self.images = images
+
+    def __len__(self) -> int:
+        return 10000 // self.n_object
+
+    def __getitem__(self, index: int):
+        t, n_obj = self.seq_len, self.n_object
+        img = np.stack([
+            self.images[self.digits_permutation[index + i * (10000 // n_obj)] % len(self.images)]
+            for i in range(n_obj)])
+        traj = self.trajectories[:t, index].transpose(1, 0, 2)  # (digits, T, 4)
+        traj_rev = self.trajectories[:t, len(self) - index - 1].transpose(1, 0, 2)
+
+        x_rev = composite(traj_rev[None], img[None], self.frame_size)[0]
+        perms = list(itertools.permutations(range(n_obj)))
+        x_swap = np.stack([
+            composite(traj[None], img[list(p)][None], self.frame_size)[0]
+            for p in perms])  # (n_perms, T, H, W, 1)
+        return (x_rev[: self.nt_cond], x_rev[self.nt_cond:],
+                x_swap[:, : self.nt_cond], x_swap[:, self.nt_cond:])
+
+
+def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
+             test_seed: int = 1, epoch: Optional[int] = None,
+             max_batches: Optional[int] = None, model_bundle=None,
+             images: Optional[np.ndarray] = None) -> Dict[str, float]:
+    if model_bundle is None:
+        model, variables, cfg = load_for_eval(
+            xp_dir, name=str(epoch) if epoch else None,
+            overrides=dict(nt_pred=nt_pred, data_dir=data_dir))
+    else:
+        model, variables, cfg = model_bundle
+    ev = Evaluator(model, variables)
+    nt_cond = cfg.nt_cond
+    nt_test = nt_cond + nt_pred
+    rng = np.random.RandomState(test_seed)
+
+    test_set = MovingMNIST.make_dataset(data_dir, 64, nt_cond, nt_test, 4,
+                                        True, cfg.n_object, train=False)
+    swap_set = SwapDataset(data_dir, nt_test, nt_cond, cfg.n_object, rng,
+                           images=images)
+    n_perms = math.factorial(cfg.n_object)
+
+    results = defaultdict(list)
+    n = min(len(test_set), len(swap_set))
+    n_batches = (n + batch_size - 1) // batch_size
+    if max_batches:
+        n_batches = min(n_batches, max_batches)
+    for b in range(n_batches):
+        idx = list(range(b * batch_size, min((b + 1) * batch_size, n)))
+        swap_items = [swap_set[i] for i in idx]
+        x_cond = np.stack([it[0] for it in swap_items])
+        gt_swap = np.stack([it[3] for it in swap_items])  # (B, n_perms, P, H, W, 1)
+
+        _, s_code = ev.forecast(x_cond, nt_test)
+        test_cond = np.stack([test_set[i][0] for i in idx])
+        swap_pred = np.asarray(
+            ev.forecast(test_cond, nt_test, init_s_code=s_code)[0][:, nt_cond:],
+            np.float32)
+
+        per_perm = defaultdict(list)
+        for j in range(n_perms):
+            m = pixel_metrics(swap_pred, gt_swap[:, j])
+            for k, v in m.items():
+                per_perm[k].append(v)
+        results["mse"].append(np.min(np.stack(per_perm["mse"]), axis=0))
+        results["psnr"].append(np.max(np.stack(per_perm["psnr"]), axis=0))
+        results["ssim"].append(np.max(np.stack(per_perm["ssim"]), axis=0))
+
+    means = {k: float(np.concatenate(v).mean()) for k, v in results.items()}
+    np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"),
+                        **{k: np.concatenate(v) for k, v in results.items()})
+    return means

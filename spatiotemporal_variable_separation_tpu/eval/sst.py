@@ -1,0 +1,85 @@
+"""SST evaluation (reference ``var_sep/test/sst/test.py``): MSE at t+6 and
+t+10 in physical space (two-stage denormalization: per-frame stats then
+climatology, ``test.py:54-64``) and SSIM in per-zone min-max renormalized
+space (``test.py:66-71``); eval zones 17-20 held out (``test.py:37``)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
+from spatiotemporal_variable_separation_tpu.data.sst import SST
+from spatiotemporal_variable_separation_tpu.eval.common import Evaluator
+from spatiotemporal_variable_separation_tpu.ops.ssim import ssim_per_frame
+
+NT_PRED = 10
+
+
+def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
+             epoch: Optional[int] = None, zones: Sequence[int] = range(17, 21),
+             max_batches: Optional[int] = None, model_bundle=None,
+             test_set=None) -> Dict[str, float]:
+    if model_bundle is None:
+        model, variables, cfg = load_for_eval(
+            xp_dir, name=str(epoch) if epoch else None,
+            overrides=dict(nt_pred=NT_PRED, data_dir=data_dir))
+    else:
+        model, variables, cfg = model_bundle
+    if test_set is None:
+        test_set = SST(data_dir, cfg.nt_cond, NT_PRED, train=False,
+                       zones=zones, eval=True)
+    mins, maxs = test_set.zone_min_max()
+    ev = Evaluator(model, variables)
+    nt_cond, offset = cfg.nt_cond, cfg.offset
+
+    all_mse, all_ssim = [], []
+    n = len(test_set)
+    n_batches = (n + batch_size - 1) // batch_size
+    if max_batches:
+        n_batches = min(n_batches, max_batches)
+    for b in range(n_batches):
+        idx = range(b * batch_size, min((b + 1) * batch_size, n))
+        items = [test_set[i] for i in idx]
+        cond = np.stack([it[0] for it in items])
+        target = np.stack([it[1] for it in items]).astype(np.float64)
+        mu_clim = np.stack([it[2] for it in items])[..., None]   # (B,T,1,1,1)
+        std_clim = np.stack([it[3] for it in items])[..., None]
+        mu_norm = np.stack([it[4] for it in items])[..., None]
+        std_norm = np.stack([it[5] for it in items])[..., None]
+        zone_ids = np.array([it[6] for it in items])
+
+        nt_target = target.shape[1]
+        if offset:
+            pred = np.asarray(ev.forecast(cond, nt_target + nt_cond)[0][:, nt_cond:],
+                              np.float64)
+        else:
+            pred = np.asarray(ev.forecast(cond, nt_target)[0], np.float64)
+
+        # stage 1: invert per-frame stats; stage 2: invert climatology.
+        pred_phys = (pred * std_norm + mu_norm) * std_clim + mu_clim
+        target_phys = (target * std_norm + mu_norm) * std_clim + mu_clim
+        err = (pred_phys - target_phys) ** 2
+        all_mse.append(err.mean(axis=(2, 3, 4)))
+
+        zmin = np.array([mins[z] for z in zone_ids])[:, None, None, None, None]
+        zmax = np.array([maxs[z] for z in zone_ids])[:, None, None, None, None]
+        # reference renormalizes the *physical* fields by the per-zone
+        # min/max of the normalized data (test.py:66-70) — kept as-is.
+        p_n = (pred_phys - zmin) / (zmax - zmin)
+        t_n = (target_phys - zmin) / (zmax - zmin)
+        ssim = np.asarray(ssim_per_frame(jnp.asarray(p_n, jnp.float32),
+                                         jnp.asarray(t_n, jnp.float32)))
+        all_ssim.append(ssim.mean(axis=2))
+
+    mse_array = np.concatenate(all_mse, axis=0)
+    ssim_array = np.concatenate(all_ssim, axis=0)
+    return {
+        "mse_t10": float(mse_array.mean(axis=0)[:10].mean()),
+        "mse_t6": float(mse_array.mean(axis=0)[:6].mean()),
+        "ssim_t10": float(ssim_array.mean(axis=0)[:10].mean()),
+        "ssim_t6": float(ssim_array.mean(axis=0)[:6].mean()),
+    }

@@ -1,0 +1,52 @@
+"""TaxiBJ evaluation (reference ``var_sep/test/taxibj/test.py``): MSE at
+t+4 in normalized min-max space.  The reference rolls out per-sample
+(batch 1, ``test.py:44-45``); we batch — numerically identical, orders of
+magnitude faster."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
+from spatiotemporal_variable_separation_tpu.data.taxibj import TaxiBJ
+from spatiotemporal_variable_separation_tpu.eval.common import Evaluator
+
+NT_PRED = 4
+
+
+def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
+             epoch: Optional[int] = None, max_batches: Optional[int] = None,
+             model_bundle=None, test_set=None) -> Dict[str, float]:
+    if model_bundle is None:
+        model, variables, cfg = load_for_eval(
+            xp_dir, name=str(epoch) if epoch else None,
+            overrides=dict(nt_pred=NT_PRED, data_dir=data_dir))
+    else:
+        model, variables, cfg = model_bundle
+    if test_set is None:
+        test_set = TaxiBJ.make_datasets(data_dir,
+                                        len_closeness=cfg.nt_cond + NT_PRED,
+                                        nt_cond=cfg.nt_cond)[1]
+    ev = Evaluator(model, variables)
+    nt_cond, offset = cfg.nt_cond, cfg.offset
+
+    all_mse = []
+    n = len(test_set)
+    n_batches = (n + batch_size - 1) // batch_size
+    if max_batches:
+        n_batches = min(n_batches, max_batches)
+    for b in range(n_batches):
+        idx = range(b * batch_size, min((b + 1) * batch_size, n))
+        items = [test_set[i] for i in idx]
+        cond = np.stack([c for c, _ in items])
+        target = np.stack([t for _, t in items])
+        if offset:
+            pred = np.asarray(ev.forecast(cond, target.shape[1] + nt_cond)[0][:, nt_cond:])
+        else:
+            pred = np.asarray(ev.forecast(cond, target.shape[1])[0])
+        err = (pred.astype(np.float64) - target.astype(np.float64)) ** 2
+        all_mse.append(err.mean(axis=(2, 3, 4)))
+    mse_array = np.concatenate(all_mse, axis=0)
+    return {"mse_t4": float(mse_array.mean(axis=0)[:NT_PRED].mean())}

@@ -26,7 +26,9 @@ def create_train_state(model, cfg, tx: optax.GradientTransformation,
                        rng: Optional[jax.Array] = None) -> TrainState:
     """Initialize model variables and optimizer state on host/default device."""
     if rng is None:
-        rng = jax.random.key(cfg.seed)
+        # legacy uint32 key layout: a plain array, so the whole TrainState
+        # (rng included) round-trips through Orbax without custom handlers.
+        rng = jax.random.PRNGKey(cfg.seed)
     init_rng, state_rng = jax.random.split(rng)
     cond = jnp.zeros((2, cfg.nt_cond) + cfg.frame_shape, jnp.float32)
     variables = model.init(init_rng, cond, 2, train=False)
