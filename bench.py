@@ -1,0 +1,194 @@
+"""Benchmark: flagship train-step throughput (samples/sec/chip).
+
+Measures the full 4-term training step (forward rollout + backward + Adam)
+of the Moving-MNIST DCGAN configuration (reference README recipe:
+nt_cond=5, nt_pred=10, offset=5, batch 128) on the default JAX device
+(the real TPU chip under the driver), bf16 compute.
+
+Prints exactly ONE JSON line:
+    {"metric": "train_samples_per_sec_per_chip", "value": N,
+     "unit": "samples/s/chip", "vs_baseline": R, ...}
+
+``vs_baseline`` compares against the *reference implementation itself*
+(``/root/reference``, PyTorch), executed on the same host's CPU with the
+identical configuration — the only hardware both stacks can run on here.
+The baseline number is cached in BENCH_BASELINE.json (committed) so routine
+bench runs skip the slow torch measurement; delete the file to re-measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+REFERENCE = "/root/reference"
+
+BATCH = 128
+NT_COND, NT_PRED, OFFSET = 5, 10, 5
+WARMUP_STEPS = 5
+MEASURE_STEPS = 50
+
+
+def make_batches(n, seed=0):
+    """Synthetic Moving-MNIST-like batches via the real generator pipeline
+    (synthetic digit blobs; identical shapes/compute to MNIST digits)."""
+    import numpy as np
+
+    from spatiotemporal_variable_separation_tpu.data.moving_mnist import (
+        MovingMNIST,
+        synthetic_digits,
+    )
+
+    ds = MovingMNIST(synthetic_digits(256), 64, NT_COND, NT_COND + NT_PRED,
+                     4, True, 2, train=True, seed=seed)
+    return [ds.generate_batch(BATCH) for _ in range(n)]
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from spatiotemporal_variable_separation_tpu.core.config import ExperimentConfig
+    from spatiotemporal_variable_separation_tpu.models.factory import (
+        build_separable_network,
+    )
+    from spatiotemporal_variable_separation_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+    from spatiotemporal_variable_separation_tpu.train.state import create_train_state
+    from spatiotemporal_variable_separation_tpu.train.step import (
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = ExperimentConfig(
+        data="mnist", architecture="dcgan", code_size_s=128, code_size_t=20,
+        enc_hidden_size=64, dec_hidden_size=64, res_hidden_size=512,
+        n_blocks=1, nt_cond=NT_COND, nt_pred=NT_PRED, offset=OFFSET,
+        batch_size=BATCH, precision="bf16", seed=0)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    model = build_separable_network(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+    state = jax.device_put(create_train_state(model, cfg, tx),
+                           replicated_sharding(mesh))
+    step = make_train_step(model, cfg, tx, mesh)
+
+    shard = batch_sharding(mesh)
+    batches = make_batches(8)
+    device_batches = [
+        (jax.device_put(jnp.asarray(b[:, :NT_COND]), shard),
+         jax.device_put(jnp.asarray(b[:, NT_COND:]), shard))
+        for b in batches
+    ]
+
+    for i in range(WARMUP_STEPS):
+        state, metrics = step(state, *device_batches[i % len(device_batches)])
+    float(metrics["loss"])  # hard host sync (block_until_ready is unreliable
+    # on the experimental tunneled platform)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        state, metrics = step(state, *device_batches[i % len(device_batches)])
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    sps = MEASURE_STEPS * BATCH / dt
+    return sps / n_dev, n_dev, float(metrics["loss"])
+
+
+def bench_reference_cpu():
+    """Run the actual reference implementation (torch, CPU) for the same
+    config and measure its per-step throughput."""
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from var_sep.networks.factory import get_decoder, get_encoder, get_resnet
+    from var_sep.networks.model import SeparableNetwork
+    from var_sep.train import ae_loss, zero_order_loss
+
+    torch.manual_seed(0)
+    shape = [1, 64, 64]
+    es = get_encoder("dcgan", shape, 128, 64, 3, NT_COND, "normal", 0.02)
+    et = get_encoder("dcgan", shape, 20, 64, 3, NT_COND, "normal", 0.02)
+    dec = get_decoder("dcgan", shape, 20, 128, "sigmoid", 64, 3, "concat",
+                      False, "normal", 0.02)
+    res = get_resnet(20, 1, 512, "orthogonal", 1.41, False)
+    net = SeparableNetwork(es, et, res, dec, NT_COND, False)
+    opt = torch.optim.Adam(net.parameters(), lr=4e-4, betas=(0.9, 0.99))
+
+    rng = np.random.default_rng(0)
+    seq = rng.random((BATCH, NT_COND + NT_PRED, 1, 64, 64)).astype(np.float32)
+    cond = torch.tensor(seq[:, :NT_COND])
+    target = torch.tensor(seq[:, NT_COND:])
+
+    def one_step():
+        opt.zero_grad()
+        total = 0
+        ae, s_new, s_old = ae_loss(cond, target, net, NT_COND, OFFSET, False)
+        total = total + 10 * ae
+        total = total + 45 * zero_order_loss(s_old, s_new, False)
+        full = torch.cat([cond, target], dim=1)
+        forecasts, t_codes, _, _ = net.get_forecast(cond, NT_PRED + OFFSET,
+                                                    init_s_code=s_old)
+        total = total + 45 * torch.nn.functional.mse_loss(forecasts, full)
+        total = total + 1e-3 * 0.5 * torch.sum(t_codes[:, 0].pow(2), dim=1).mean()
+        total.backward()
+        opt.step()
+
+    one_step()  # warmup
+    n = 2
+    t0 = time.perf_counter()
+    for _ in range(n):
+        one_step()
+    dt = time.perf_counter() - t0
+    return n * BATCH / dt
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    if not os.path.isdir(REFERENCE):
+        return None
+    try:
+        sps = bench_reference_cpu()
+    except Exception as e:  # pragma: no cover
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        return None
+    entry = {"baseline_samples_per_sec": sps,
+             "baseline_hw": "reference torch implementation, host CPU",
+             "config": f"mnist/dcgan batch {BATCH}, nt {NT_COND}+{NT_PRED}, offset {OFFSET}"}
+    try:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(entry, f, indent=2)
+    except OSError:
+        pass
+    return entry
+
+
+def main():
+    value, n_dev, loss = bench_tpu()
+    baseline = get_baseline()
+    vs = value / baseline["baseline_samples_per_sec"] if baseline else None
+    out = {
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "devices": n_dev,
+        "batch": BATCH,
+        "final_loss": round(loss, 4),
+        "baseline": baseline,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,9 @@ class SwapDataset:
         self.images = images
 
     def __len__(self) -> int:
-        return 10000 // self.n_object
+        # reference hardcodes 10000 // n_object (the full MNIST test split);
+        # clamp to the stored latents so smaller test sets work too.
+        return min(10000 // self.n_object, self.trajectories.shape[1])
 
     def __getitem__(self, index: int):
         t, n_obj = self.seq_len, self.n_object
