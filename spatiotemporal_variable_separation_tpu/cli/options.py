@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     tpu_p.add_argument("--remat", action="store_true",
                        help="Rematerialize integrator steps (long-horizon memory).")
     tpu_p.add_argument("--steps_per_epoch", type=int, default=None)
+    tpu_p.add_argument("--device_datagen", action=argparse.BooleanOptionalAction,
+                       default=True,
+                       help="Synthesize training batches on device where "
+                            "supported (Moving MNIST).")
     return parser
 
 

@@ -85,6 +85,7 @@ class ExperimentConfig:
     n_object: int = 2
 
     # --- TPU-native additions ---
+    device_datagen: bool = True  # on-device synthesis where supported (mnist)
     seed: int = 0
     precision: str = "bf16"
     decode_mode: str = "batched"

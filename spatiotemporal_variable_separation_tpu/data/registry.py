@@ -47,6 +47,36 @@ def make_train_dataset(cfg: ExperimentConfig, synthetic_fallback: bool = False):
     raise ValueError(f"unknown dataset {cfg.data!r}")
 
 
+def make_device_generator(cfg: ExperimentConfig, mesh=None,
+                          synthetic_fallback: bool = False):
+    """On-device batch generator for datasets that support it, else None.
+
+    With a mesh, generated batches come out already sharded over the data
+    axis (no host round-trip, no resharding)."""
+    if not cfg.device_datagen or cfg.data != "mnist":
+        return None
+    from spatiotemporal_variable_separation_tpu.data.mnist_device import (
+        DeviceMovingMNIST,
+    )
+
+    try:
+        gen = DeviceMovingMNIST.from_data_dir(
+            cfg.data_dir, cfg.nt_cond, cfg.nt_cond + cfg.nt_pred,
+            cfg.n_object, synthetic_fallback=synthetic_fallback)
+    except FileNotFoundError:
+        return None
+    if mesh is not None:
+        import jax
+
+        from spatiotemporal_variable_separation_tpu.parallel.mesh import (
+            batch_sharding,
+        )
+
+        gen._generate = jax.jit(gen._generate_impl, static_argnames=("batch",),
+                                out_shardings=batch_sharding(mesh))
+    return gen
+
+
 def steps_per_epoch(cfg: ExperimentConfig, dataset) -> int:
     if cfg.steps_per_epoch is not None:
         return cfg.steps_per_epoch

@@ -20,6 +20,7 @@ from spatiotemporal_variable_separation_tpu.checkpoint import save_checkpoint
 from spatiotemporal_variable_separation_tpu.core.config import ExperimentConfig
 from spatiotemporal_variable_separation_tpu.data.registry import (
     epoch_iterator,
+    make_device_generator,
     make_train_dataset,
     steps_per_epoch,
 )
@@ -37,11 +38,12 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                  log_every: int = 50, log_fn: Callable[[str], None] = print,
                  resume_state: Optional[TrainState] = None) -> TrainState:
     cfg = cfg.validate()
-    if dataset is None:
-        dataset = make_train_dataset(cfg)
     if mesh is None:
         mesh = make_mesh(cfg.num_devices)
-    n_steps = steps_per_epoch(cfg, dataset)
+    device_gen = make_device_generator(cfg, mesh)
+    if dataset is None and device_gen is None:
+        dataset = make_train_dataset(cfg)
+    n_steps = steps_per_epoch(cfg, dataset if dataset is not None else device_gen)
 
     model = build_separable_network(cfg)
     tx = make_optimizer(cfg, n_steps)
@@ -55,12 +57,26 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
            f"precision {cfg.precision}")
     t_start = time.time()
     try:
+        import jax.random as jrandom
+
+        data_key = jrandom.PRNGKey(cfg.seed + 1)
+
+        def batches(epoch):
+            if device_gen is not None:
+                # fully on-device synthesis: the host only enqueues.
+                base = epoch * n_steps
+                for i in range(n_steps):
+                    yield device_gen.generate_device_batch(
+                        jrandom.fold_in(data_key, base + i), cfg.batch_size)
+            else:
+                for cond, target in epoch_iterator(cfg, dataset, epoch):
+                    yield (jax.device_put(cond, data_shard),
+                           jax.device_put(target, data_shard))
+
         start_epoch = int(state.step) // n_steps
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.time()
-            for cond, target in epoch_iterator(cfg, dataset, epoch):
-                cond = jax.device_put(cond, data_shard)
-                target = jax.device_put(target, data_shard)
+            for cond, target in batches(epoch):
                 state, metrics = step(state, cond, target)
                 s = int(state.step)
                 if log_every and s % log_every == 0:
