@@ -13,12 +13,21 @@ def main(argv=None):
     )
     from spatiotemporal_variable_separation_tpu.train.loop import run_training
 
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the latest checkpoint in xp_dir "
+                             "(capability the reference lacks).")
+    parser.add_argument("--log_every", type=int, default=50,
+                        help="Log loss terms every N steps (0 disables).")
+    args = parser.parse_args(argv)
+    resume = args.resume
+    log_every = args.log_every
+    del args.resume, args.log_every
     cfg = config_from_args(args).validate()
     os.makedirs(cfg.xp_dir, exist_ok=True)
     # params.json dump (main.py:104-106) — eval CLIs reload this.
     cfg.save(os.path.join(cfg.xp_dir, "params.json"))
-    run_training(cfg)
+    run_training(cfg, resume=resume, log_every=log_every)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ Differences, all TPU-idiomatic or capability supersets:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Optional
 
@@ -36,6 +37,7 @@ from spatiotemporal_variable_separation_tpu.train.step import make_optimizer, ma
 
 def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                  log_every: int = 50, log_fn: Callable[[str], None] = print,
+                 resume: bool = False,
                  resume_state: Optional[TrainState] = None) -> TrainState:
     cfg = cfg.validate()
     if mesh is None:
@@ -48,6 +50,16 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
     model = build_separable_network(cfg)
     tx = make_optimizer(cfg, n_steps)
     state = resume_state if resume_state is not None else create_train_state(model, cfg, tx)
+    if resume and resume_state is None:
+        from spatiotemporal_variable_separation_tpu.checkpoint import (
+            list_checkpoints,
+            restore_checkpoint,
+        )
+
+        if list_checkpoints(cfg.xp_dir):
+            template = jax.eval_shape(lambda: create_train_state(model, cfg, tx))
+            state = restore_checkpoint(cfg.xp_dir, template)
+            log_fn(f"resumed from step {int(state.step)}")
     state = jax.device_put(state, replicated_sharding(mesh))
     step = make_train_step(model, cfg, tx, mesh)
     data_shard = batch_sharding(mesh)
@@ -55,6 +67,9 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
     log_fn(f"training: {cfg.data}/{cfg.architecture} on {mesh.devices.size} device(s), "
            f"{cfg.epochs} epochs x {n_steps} steps, batch {cfg.batch_size}, "
            f"precision {cfg.precision}")
+    from spatiotemporal_variable_separation_tpu.utils.profiling import MetricsLogger
+
+    mlog = MetricsLogger(cfg.xp_dir) if os.path.isdir(cfg.xp_dir) else None
     t_start = time.time()
     try:
         import jax.random as jrandom
@@ -84,13 +99,21 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                     log_fn(f"epoch {epoch} step {s}: loss {m['loss']:.5f} "
                            f"(ae {m['ae']:.5f} s_inv {m['s_inv']:.5f} "
                            f"pred {m['forecast']:.5f} t_reg {m['t_reg']:.5f})")
+                    if mlog is not None:
+                        mlog.log(s, m)
             dt = time.time() - t_epoch
             sps = n_steps * cfg.batch_size / dt if dt > 0 else 0.0
             log_fn(f"epoch {epoch} done in {dt:.1f}s ({sps:.1f} samples/s)")
+            if mlog is not None:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["samples_per_sec"] = sps
+                mlog.log(int(state.step), m)
             if cfg.chkpt_interval is not None and (epoch + 1) % cfg.chkpt_interval == 0:
                 save_checkpoint(cfg.xp_dir, state)
     except KeyboardInterrupt:
         log_fn("interrupted — saving final checkpoint")
     save_checkpoint(cfg.xp_dir, state, name="final")
+    if mlog is not None:
+        mlog.close()
     log_fn(f"total time {time.time() - t_start:.1f}s")
     return state
