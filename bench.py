@@ -88,18 +88,36 @@ def bench_tpu():
         for b in batches
     ]
 
+    # AOT-compile once: the same executable is timed and cost-analyzed.
+    compiled = step.lower(state, *device_batches[0]).compile()
+    try:
+        ca = compiled.cost_analysis()
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        flops, hbm_bytes = 0.0, 0.0
+
     for i in range(WARMUP_STEPS):
-        state, metrics = step(state, *device_batches[i % len(device_batches)])
+        state, metrics = compiled(state, *device_batches[i % len(device_batches)])
     float(metrics["loss"])  # hard host sync (block_until_ready is unreliable
     # on the experimental tunneled platform)
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
-        state, metrics = step(state, *device_batches[i % len(device_batches)])
+        state, metrics = compiled(state, *device_batches[i % len(device_batches)])
     float(metrics["loss"])
     dt = time.perf_counter() - t0
     sps = MEASURE_STEPS * BATCH / dt
-    return sps / n_dev, n_dev, float(metrics["loss"])
+    step_s = dt / MEASURE_STEPS
+    # v5e peak: ~197 bf16 TFLOP/s, ~819 GB/s HBM per chip.
+    stats = {
+        "step_ms": round(step_s * 1e3, 2),
+        "tflops_per_step": round(flops / 1e12, 3),
+        "mfu": round(flops / step_s / 197e12, 3) if flops else None,
+        "hbm_gb_per_step": round(hbm_bytes / 1e9, 2),
+        "hbm_roofline_util": round(hbm_bytes / step_s / 819e9, 3) if hbm_bytes else None,
+    }
+    return sps / n_dev, n_dev, float(metrics["loss"]), stats
 
 
 def bench_reference_cpu():
@@ -174,7 +192,7 @@ def get_baseline():
 
 
 def main():
-    value, n_dev, loss = bench_tpu()
+    value, n_dev, loss, stats = bench_tpu()
     baseline = get_baseline()
     vs = value / baseline["baseline_samples_per_sec"] if baseline else None
     out = {
@@ -185,6 +203,7 @@ def main():
         "devices": n_dev,
         "batch": BATCH,
         "final_loss": round(loss, 4),
+        **stats,
         "baseline": baseline,
     }
     print(json.dumps(out))

@@ -92,11 +92,16 @@ def sample_trajectories(rng: np.random.RandomState, n: int, seq_len: int,
     """Generate ``n`` bouncing trajectories; returns int32 (n, seq_len, 4)
     with rows [sx, sy, dx, dy].
 
-    Exactly reproduces the reference geometry (``moving_mnist.py:131-253``):
-    positions are recorded after collision processing at each step, then the
-    object advances by its speed.  Draw order per trajectory is
-    sx, sy, dx, dy (``:153-157``), so a given RandomState yields the same
-    latents as the reference.
+    Deterministic mode exactly reproduces the reference geometry
+    (``moving_mnist.py:131-253``): positions are recorded after collision
+    processing at each step, then the object advances by its speed.  Draw
+    order per trajectory is sx, sy, dx, dy (``:153-157``), so a given
+    RandomState yields the same latents as the reference.
+
+    Stochastic mode (speed resampled at each bounce) is *distributionally*
+    equivalent but not call-order identical: the reference resamples inside
+    its retroactive-intersection loop, this implementation per reflection.
+    No README recipe or shipped test set uses the stochastic variant.
 
     ``init``: optional (n, 4) initial [sx, sy, dx, dy] override.
     """

@@ -89,6 +89,7 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
     n_perms = math.factorial(cfg.n_object)
 
     results = defaultdict(list)
+    arch = defaultdict(list)
     n = min(len(test_set), len(swap_set))
     n_batches = (n + batch_size - 1) // batch_size
     if max_batches:
@@ -114,7 +115,24 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
         results["psnr"].append(np.max(np.stack(per_perm["psnr"]), axis=0))
         results["ssim"].append(np.max(np.stack(per_perm["ssim"]), axis=0))
 
+        from spatiotemporal_variable_separation_tpu.eval.common import (
+            to_uint8_nchw_last,
+        )
+
+        arch["content_swap"].append(to_uint8_nchw_last(swap_pred))
+        arch["gt_swap"].append(to_uint8_nchw_last(gt_swap[:, 0]))
+        arch["cond_swap"].append(to_uint8_nchw_last(x_cond))
+        arch["target_swap"].append(to_uint8_nchw_last(
+            np.stack([it[1] for it in swap_items])))
+
     means = {k: float(np.concatenate(v).mean()) for k, v in results.items()}
     np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"),
                         **{k: np.concatenate(v) for k, v in results.items()})
+    # archive layout parity (test_disentanglement.py:199-203)
+    for key, fname in [("gt_swap", "content_swap_gt.npz"),
+                       ("content_swap", "content_swap_test.npz"),
+                       ("cond_swap", "cond_swap_test.npz"),
+                       ("target_swap", "target_swap_test.npz")]:
+        np.savez_compressed(os.path.join(xp_dir, fname),
+                            **{key: np.concatenate(arch[key])})
     return means
