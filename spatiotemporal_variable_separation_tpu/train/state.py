@@ -32,8 +32,8 @@ def create_train_state(model, cfg, tx: optax.GradientTransformation,
     init_rng, state_rng = jax.random.split(rng)
     cond = jnp.zeros((2, cfg.nt_cond) + cfg.frame_shape, jnp.float32)
     variables = model.init(init_rng, cond, 2, train=False)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    params = core.unfreeze(variables["params"])
+    batch_stats = core.unfreeze(variables.get("batch_stats", {}))
     opt_state = tx.init(params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state, rng=state_rng)

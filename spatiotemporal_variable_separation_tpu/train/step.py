@@ -84,8 +84,10 @@ def make_train_step(model, cfg: ExperimentConfig, tx: optax.GradientTransformati
         grads, (metrics, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # keep the pytree *type* identical to the input (plain dict) so the
+        # step never retraces between the first and later invocations.
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=core.freeze(new_batch_stats),
+                                  batch_stats=core.unfreeze(new_batch_stats),
                                   opt_state=new_opt_state)
         return new_state, metrics
 
