@@ -53,18 +53,37 @@ def make_device_generator(cfg: ExperimentConfig, mesh=None,
 
     With a mesh, generated batches come out already sharded over the data
     axis (no host round-trip, no resharding)."""
-    if not cfg.device_datagen or cfg.data != "mnist":
+    if not cfg.device_datagen or cfg.data not in ("mnist", "wave", "wave_partial"):
         return None
-    from spatiotemporal_variable_separation_tpu.data.mnist_device import (
-        DeviceMovingMNIST,
-    )
+    if cfg.data == "mnist":
+        from spatiotemporal_variable_separation_tpu.data.mnist_device import (
+            DeviceMovingMNIST,
+        )
 
-    try:
-        gen = DeviceMovingMNIST.from_data_dir(
-            cfg.data_dir, cfg.nt_cond, cfg.nt_cond + cfg.nt_pred,
-            cfg.n_object, synthetic_fallback=synthetic_fallback)
-    except FileNotFoundError:
-        return None
+        try:
+            gen = DeviceMovingMNIST.from_data_dir(
+                cfg.data_dir, cfg.nt_cond, cfg.nt_cond + cfg.nt_pred,
+                cfg.n_object, synthetic_fallback=synthetic_fallback)
+        except FileNotFoundError:
+            return None
+    else:
+        from spatiotemporal_variable_separation_tpu.data.wave_device import (
+            DeviceWaveEq,
+        )
+
+        try:
+            host = make_train_dataset(cfg)
+        except (FileNotFoundError, OSError):
+            return None
+        if cfg.data == "wave":
+            gen = DeviceWaveEq.from_host_dataset(host)
+        else:
+            # partial observations: pre-apply the fixed pixel subsampling.
+            import numpy as _np
+
+            sub = host.data[:, :, host.rand_w, host.rand_h, :]
+            gen = DeviceWaveEq(_np.ascontiguousarray(sub), host.nt_cond,
+                               host.seq_len)
     if mesh is not None:
         import jax
 

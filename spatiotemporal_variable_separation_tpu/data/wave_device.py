@@ -1,0 +1,52 @@
+"""Device-resident WaveEq training pipeline.
+
+The normalized, downsampled wave sequences are small enough to live in HBM
+(300 x 150 x 64 x 64 f32 ≈ 740 MB; the standard recipe's train split is
+~470 MB), so instead of assembling windows on the host per batch
+(52 MB/batch of host work + H2D), the whole corpus is uploaded once and
+training windows are gathered on device inside one jitted function."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class DeviceWaveEq:
+    """Uniform random (sequence, start) window sampler over device data."""
+
+    def __init__(self, sequences: np.ndarray, nt_cond: int, seq_len: int):
+        # sequences: (N, nt, H, W, 1) float32 normalized
+        self.data = jnp.asarray(sequences)
+        self.nt_cond = nt_cond
+        self.seq_len = seq_len
+        self.windows = self.data.shape[1] - seq_len + 1
+        self.n_seq = self.data.shape[0]
+        self._sample = jax.jit(self._sample_impl, static_argnames=("batch",))
+
+    def __len__(self) -> int:
+        return self.n_seq * self.windows
+
+    def _sample_impl(self, rng: jax.Array, batch: int) -> jnp.ndarray:
+        ks, kw = jax.random.split(rng)
+        seq_idx = jax.random.randint(ks, (batch,), 0, self.n_seq)
+        start = jax.random.randint(kw, (batch,), 0, self.windows)
+
+        def take(s, i):
+            return jax.lax.dynamic_slice_in_dim(self.data[s], i, self.seq_len, axis=0)
+
+        return jax.vmap(take)(seq_idx, start)
+
+    def generate_device_batch(self, rng: jax.Array, batch: int
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        w = self._sample(rng, batch)
+        return w[:, : self.nt_cond], w[:, self.nt_cond:]
+
+    @classmethod
+    def from_host_dataset(cls, host_ds) -> "DeviceWaveEq":
+        """Wrap a :class:`data.wave_eq.WaveEq` (already normalized/split)."""
+        return cls(host_ds.data, host_ds.nt_cond, host_ds.seq_len)
