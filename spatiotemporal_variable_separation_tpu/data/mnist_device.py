@@ -95,16 +95,36 @@ class DeviceMovingMNIST:
         return self.train_length
 
     def _generate_impl(self, rng: jax.Array, batch: int) -> jnp.ndarray:
-        kd, kp, kv = jax.random.split(rng, 3)
-        n, d = batch, self.num_digits
-        limit = self.frame_size - self.digit_size
-        idx = jax.random.randint(kd, (n, d), 0, self.digits.shape[0])
-        digs = self.digits[idx]
-        s0 = jax.random.randint(kp, (n, d, 2), 0, limit + 1, jnp.int32)
-        vel = jax.random.randint(kv, (n, d, 2), -self.max_speed,
-                                 self.max_speed + 1, jnp.int32)
-        pos = fold_positions(s0, vel, self.seq_len, limit)
-        return render_frames(pos, digs, self.frame_size)
+        return self.sample_pure(self.digits, rng, batch)
+
+    @property
+    def data(self):
+        """Device-resident corpus for fused-train-step use."""
+        return self.digits
+
+    def make_sample_fn(self):
+        """Pure ``f(data, rng, batch) -> (B, T, H, W, 1)`` for fusing into a
+        jitted train step (data passed explicitly so it lowers as an
+        executable parameter, not an embedded constant)."""
+        seq_len, d = self.seq_len, self.num_digits
+        frame, max_speed = self.frame_size, self.max_speed
+        digit_size = self.digit_size
+
+        def sample(data, rng, batch):
+            kd, kp, kv = jax.random.split(rng, 3)
+            limit = frame - digit_size
+            idx = jax.random.randint(kd, (batch, d), 0, data.shape[0])
+            digs = data[idx]
+            s0 = jax.random.randint(kp, (batch, d, 2), 0, limit + 1, jnp.int32)
+            vel = jax.random.randint(kv, (batch, d, 2), -max_speed,
+                                     max_speed + 1, jnp.int32)
+            pos = fold_positions(s0, vel, seq_len, limit)
+            return render_frames(pos, digs, frame)
+
+        return sample
+
+    def sample_pure(self, data, rng, batch):
+        return self.make_sample_fn()(data, rng, batch)
 
     def generate_device_batch(self, rng: jax.Array, batch: int
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -84,15 +84,10 @@ def make_device_generator(cfg: ExperimentConfig, mesh=None,
             sub = host.data[:, :, host.rand_w, host.rand_h, :]
             gen = DeviceWaveEq(_np.ascontiguousarray(sub), host.nt_cond,
                                host.seq_len)
-    if mesh is not None:
-        import jax
-
-        from spatiotemporal_variable_separation_tpu.parallel.mesh import (
-            batch_sharding,
-        )
-
-        gen._generate = jax.jit(gen._generate_impl, static_argnames=("batch",),
-                                out_shardings=batch_sharding(mesh))
+    # note: with the fused datagen+train step (train/step.py) the generator's
+    # sampling runs inside the sharded step itself, so no resharding of
+    # standalone generation is needed here.
+    del mesh
     return gen
 
 

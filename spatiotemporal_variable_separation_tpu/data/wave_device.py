@@ -32,14 +32,23 @@ class DeviceWaveEq:
         return self.n_seq * self.windows
 
     def _sample_impl(self, rng: jax.Array, batch: int) -> jnp.ndarray:
-        ks, kw = jax.random.split(rng)
-        seq_idx = jax.random.randint(ks, (batch,), 0, self.n_seq)
-        start = jax.random.randint(kw, (batch,), 0, self.windows)
+        return self.make_sample_fn()(self.data, rng, batch)
 
-        def take(s, i):
-            return jax.lax.dynamic_slice_in_dim(self.data[s], i, self.seq_len, axis=0)
+    def make_sample_fn(self):
+        """Pure ``f(data, rng, batch)`` (see DeviceMovingMNIST.make_sample_fn)."""
+        seq_len, n_seq, windows = self.seq_len, self.n_seq, self.windows
 
-        return jax.vmap(take)(seq_idx, start)
+        def sample(data, rng, batch):
+            ks, kw = jax.random.split(rng)
+            seq_idx = jax.random.randint(ks, (batch,), 0, n_seq)
+            start = jax.random.randint(kw, (batch,), 0, windows)
+
+            def take(s, i):
+                return jax.lax.dynamic_slice_in_dim(data[s], i, seq_len, axis=0)
+
+            return jax.vmap(take)(seq_idx, start)
+
+        return sample
 
     def generate_device_batch(self, rng: jax.Array, batch: int
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:

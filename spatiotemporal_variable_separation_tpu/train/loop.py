@@ -61,8 +61,17 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
             state = restore_checkpoint(cfg.xp_dir, template)
             log_fn(f"resumed from step {int(state.step)}")
     state = jax.device_put(state, replicated_sharding(mesh))
-    step = make_train_step(model, cfg, tx, mesh)
     data_shard = batch_sharding(mesh)
+    if device_gen is not None:
+        # single XLA program per step: on-device synthesis + full update.
+        from spatiotemporal_variable_separation_tpu.train.step import (
+            make_fused_datagen_step,
+        )
+
+        corpus = jax.device_put(device_gen.data, replicated_sharding(mesh))
+        fused_step = make_fused_datagen_step(model, cfg, tx, device_gen, mesh)
+    else:
+        step = make_train_step(model, cfg, tx, mesh)
 
     log_fn(f"training: {cfg.data}/{cfg.architecture} on {mesh.devices.size} device(s), "
            f"{cfg.epochs} epochs x {n_steps} steps, batch {cfg.batch_size}, "
@@ -72,27 +81,21 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
     mlog = MetricsLogger(cfg.xp_dir) if os.path.isdir(cfg.xp_dir) else None
     t_start = time.time()
     try:
-        import jax.random as jrandom
-
-        data_key = jrandom.PRNGKey(cfg.seed + 1)
-
-        def batches(epoch):
+        def updates(epoch):
             if device_gen is not None:
-                # fully on-device synthesis: the host only enqueues.
-                base = epoch * n_steps
-                for i in range(n_steps):
-                    yield device_gen.generate_device_batch(
-                        jrandom.fold_in(data_key, base + i), cfg.batch_size)
+                for _ in range(n_steps):
+                    yield lambda s: fused_step(s, corpus)
             else:
                 for cond, target in epoch_iterator(cfg, dataset, epoch):
-                    yield (jax.device_put(cond, data_shard),
-                           jax.device_put(target, data_shard))
+                    c = jax.device_put(cond, data_shard)
+                    t = jax.device_put(target, data_shard)
+                    yield lambda s, c=c, t=t: step(s, c, t)
 
         start_epoch = int(state.step) // n_steps
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.time()
-            for cond, target in batches(epoch):
-                state, metrics = step(state, cond, target)
+            for do_update in updates(epoch):
+                state, metrics = do_update(state)
                 s = int(state.step)
                 if log_every and s % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}

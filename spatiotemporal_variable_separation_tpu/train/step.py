@@ -63,6 +63,20 @@ def make_train_step(model, cfg: ExperimentConfig, tx: optax.GradientTransformati
     large-batch single-device semantics rather than per-replica stats.
     """
     cfg = cfg.validate()
+    step_fn = _make_step_fn(model, cfg, tx)
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step_fn,
+                   in_shardings=(repl, data, data),
+                   out_shardings=(repl, repl),
+                   donate_argnums=0)
+
+
+def _make_step_fn(model, cfg: ExperimentConfig, tx):
     lamb_t = cfg.effective_lamb_t
 
     def step_fn(state: TrainState, cond: jnp.ndarray, target: jnp.ndarray):
@@ -91,12 +105,38 @@ def make_train_step(model, cfg: ExperimentConfig, tx: optax.GradientTransformati
                                   opt_state=new_opt_state)
         return new_state, metrics
 
+    return step_fn
+
+
+def make_fused_datagen_step(model, cfg: ExperimentConfig,
+                            tx: optax.GradientTransformation, generator,
+                            mesh=None) -> Callable:
+    """Fuse on-device data synthesis into the train step: one XLA program
+    generates the batch (sharded over the mesh) and runs the full update —
+    the host only enqueues ``state, metrics = step(state, corpus)``.
+
+    ``generator`` must expose ``make_sample_fn() -> f(data, rng, batch)``
+    and ``.data`` (the device corpus, passed explicitly so it lowers as an
+    executable parameter rather than an embedded constant).
+    """
+    cfg = cfg.validate()
+    inner = _make_step_fn(model, cfg, tx)
+    sample = generator.make_sample_fn()
+    nt_cond, batch = cfg.nt_cond, cfg.batch_size
+
+    def step_fn(state: TrainState, data):
+        gen_rng = jax.random.fold_in(jax.random.fold_in(state.rng, 2_000_003),
+                                     state.step)
+        video = sample(data, gen_rng, batch)
+        if mesh is not None:
+            video = jax.lax.with_sharding_constraint(
+                video, batch_sharding(mesh))
+        return inner(state, video[:, :nt_cond], video[:, nt_cond:])
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
-
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
     return jax.jit(step_fn,
-                   in_shardings=(repl, data, data),
+                   in_shardings=(repl, repl),
                    out_shardings=(repl, repl),
                    donate_argnums=0)
