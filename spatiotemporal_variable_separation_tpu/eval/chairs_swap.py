@@ -17,7 +17,11 @@ import numpy as np
 
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.chairs import Chairs
-from spatiotemporal_variable_separation_tpu.eval.common import Evaluator, pixel_metrics
+from spatiotemporal_variable_separation_tpu.eval.common import (
+    Evaluator,
+    batch_indices,
+    pixel_metrics,
+)
 
 
 class SwapDataset(Chairs):
@@ -59,11 +63,7 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
 
     results = defaultdict(list)
     n = len(test_set)
-    n_batches = (n + batch_size - 1) // batch_size
-    if max_batches:
-        n_batches = min(n_batches, max_batches)
-    for b in range(n_batches):
-        idx = list(range(b * batch_size, min((b + 1) * batch_size, n)))
+    for idx, n_real in batch_indices(n, min(batch_size, n), max_batches):
         swap_items = [swap_set[i] for i in idx]
         x_cond = np.stack([it[0] for it in swap_items])     # content sequence
         gt_swap = np.stack([it[3] for it in swap_items])    # content w/ test dynamics
@@ -74,7 +74,7 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
             ev.forecast(test_cond, nt_test, init_s_code=s_code)[0][:, nt_cond:],
             np.float32)
         for k, v in pixel_metrics(swap_pred, gt_swap).items():
-            results[k].append(v)
+            results[k].append(v[:n_real])
 
     means = {k: float(np.concatenate(v).mean()) for k, v in results.items()}
     np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"),

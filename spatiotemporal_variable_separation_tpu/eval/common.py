@@ -52,6 +52,22 @@ class Evaluator:
         fc = self._forecast_with_s(self.variables, cond, init_s_code, n_forecast)
         return fc, init_s_code
 
+def batch_indices(n: int, batch_size: int, max_batches: Optional[int] = None):
+    """Yield (indices, n_real) with the last batch padded to ``batch_size``
+    by repeating the final index, so every batch has a static shape and the
+    jitted forecast never retraces; callers slice results to ``n_real``."""
+    n_batches = (n + batch_size - 1) // batch_size
+    if max_batches:
+        n_batches = min(n_batches, max_batches)
+    for b in range(n_batches):
+        lo = b * batch_size
+        hi = min(lo + batch_size, n)
+        idx = list(range(lo, hi))
+        n_real = len(idx)
+        idx = idx + [idx[-1]] * (batch_size - n_real)
+        yield idx, n_real
+
+
 def pixel_metrics(pred: jnp.ndarray, gt: jnp.ndarray,
                   max_val: float = 1.0) -> Dict[str, np.ndarray]:
     """Per-sequence MSE / PSNR / SSIM (reference ``test/mnist/test.py:136-142``:

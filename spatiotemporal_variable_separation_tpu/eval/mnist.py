@@ -22,6 +22,7 @@ from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.moving_mnist import MovingMNIST
 from spatiotemporal_variable_separation_tpu.eval.common import (
     Evaluator,
+    batch_indices,
     pixel_metrics,
     to_uint8_nchw_last,
 )
@@ -50,12 +51,7 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
 
     results = defaultdict(list)
     arch = defaultdict(list)
-    n = len(test_set)
-    n_batches = (n + batch_size - 1) // batch_size
-    if max_batches:
-        n_batches = min(n_batches, max_batches)
-    for b in range(n_batches):
-        idx = range(b * batch_size, min((b + 1) * batch_size, n))
+    for idx, n_real in batch_indices(len(test_set), batch_size, max_batches):
         items = [test_set[i] for i in idx]
         cond = np.stack([c for c, _ in items])
         target = np.stack([t for _, t in items])
@@ -70,14 +66,14 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
         swap_pred = np.asarray(swap_pred_full[:, nt_cond:], np.float32)
 
         for k, v in pixel_metrics(pred, target).items():
-            results[k].append(v)
+            results[k].append(v[:n_real])
         if save_arrays:
-            arch["cond"].append(to_uint8_nchw_last(cond))
-            arch["gt"].append(to_uint8_nchw_last(target))
-            arch["predictions"].append(to_uint8_nchw_last(pred))
-            arch["content_swap"].append(to_uint8_nchw_last(swap_pred))
-            arch["cond_swap"].append(to_uint8_nchw_last(swap_cond))
-            arch["target_swap"].append(to_uint8_nchw_last(swap[:, nt_cond:]))
+            arch["cond"].append(to_uint8_nchw_last(cond[:n_real]))
+            arch["gt"].append(to_uint8_nchw_last(target[:n_real]))
+            arch["predictions"].append(to_uint8_nchw_last(pred[:n_real]))
+            arch["content_swap"].append(to_uint8_nchw_last(swap_pred[:n_real]))
+            arch["cond_swap"].append(to_uint8_nchw_last(swap_cond[:n_real]))
+            arch["target_swap"].append(to_uint8_nchw_last(swap[:n_real, nt_cond:]))
 
     means = {k: float(np.concatenate(v).mean()) for k, v in results.items()}
     if save_arrays:

@@ -24,7 +24,11 @@ from spatiotemporal_variable_separation_tpu.data.moving_mnist import (
     composite,
     load_mnist,
 )
-from spatiotemporal_variable_separation_tpu.eval.common import Evaluator, pixel_metrics
+from spatiotemporal_variable_separation_tpu.eval.common import (
+    Evaluator,
+    batch_indices,
+    pixel_metrics,
+)
 
 
 class SwapDataset:
@@ -91,11 +95,7 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
     results = defaultdict(list)
     arch = defaultdict(list)
     n = min(len(test_set), len(swap_set))
-    n_batches = (n + batch_size - 1) // batch_size
-    if max_batches:
-        n_batches = min(n_batches, max_batches)
-    for b in range(n_batches):
-        idx = list(range(b * batch_size, min((b + 1) * batch_size, n)))
+    for idx, n_real in batch_indices(n, min(batch_size, n), max_batches):
         swap_items = [swap_set[i] for i in idx]
         x_cond = np.stack([it[0] for it in swap_items])
         gt_swap = np.stack([it[3] for it in swap_items])  # (B, n_perms, P, H, W, 1)
@@ -111,19 +111,19 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
             m = pixel_metrics(swap_pred, gt_swap[:, j])
             for k, v in m.items():
                 per_perm[k].append(v)
-        results["mse"].append(np.min(np.stack(per_perm["mse"]), axis=0))
-        results["psnr"].append(np.max(np.stack(per_perm["psnr"]), axis=0))
-        results["ssim"].append(np.max(np.stack(per_perm["ssim"]), axis=0))
+        results["mse"].append(np.min(np.stack(per_perm["mse"]), axis=0)[:n_real])
+        results["psnr"].append(np.max(np.stack(per_perm["psnr"]), axis=0)[:n_real])
+        results["ssim"].append(np.max(np.stack(per_perm["ssim"]), axis=0)[:n_real])
 
         from spatiotemporal_variable_separation_tpu.eval.common import (
             to_uint8_nchw_last,
         )
 
-        arch["content_swap"].append(to_uint8_nchw_last(swap_pred))
-        arch["gt_swap"].append(to_uint8_nchw_last(gt_swap[:, 0]))
-        arch["cond_swap"].append(to_uint8_nchw_last(x_cond))
+        arch["content_swap"].append(to_uint8_nchw_last(swap_pred[:n_real]))
+        arch["gt_swap"].append(to_uint8_nchw_last(gt_swap[:n_real, 0]))
+        arch["cond_swap"].append(to_uint8_nchw_last(x_cond[:n_real]))
         arch["target_swap"].append(to_uint8_nchw_last(
-            np.stack([it[1] for it in swap_items])))
+            np.stack([it[1] for it in swap_items[:n_real]])))
 
     means = {k: float(np.concatenate(v).mean()) for k, v in results.items()}
     np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"),

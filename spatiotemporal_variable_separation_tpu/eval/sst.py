@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.sst import SST
-from spatiotemporal_variable_separation_tpu.eval.common import Evaluator
+from spatiotemporal_variable_separation_tpu.eval.common import Evaluator, batch_indices
 from spatiotemporal_variable_separation_tpu.ops.ssim import ssim_per_frame
 
 NT_PRED = 10
@@ -37,12 +37,8 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
     nt_cond, offset = cfg.nt_cond, cfg.offset
 
     all_mse, all_ssim = [], []
-    n = len(test_set)
-    n_batches = (n + batch_size - 1) // batch_size
-    if max_batches:
-        n_batches = min(n_batches, max_batches)
-    for b in range(n_batches):
-        idx = range(b * batch_size, min((b + 1) * batch_size, n))
+    for idx, n_real in batch_indices(len(test_set),
+                                     min(batch_size, len(test_set)), max_batches):
         items = [test_set[i] for i in idx]
         cond = np.stack([it[0] for it in items])
         target = np.stack([it[1] for it in items]).astype(np.float64)
@@ -63,7 +59,7 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
         pred_phys = (pred * std_norm + mu_norm) * std_clim + mu_clim
         target_phys = (target * std_norm + mu_norm) * std_clim + mu_clim
         err = (pred_phys - target_phys) ** 2
-        all_mse.append(err.mean(axis=(2, 3, 4)))
+        all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
 
         zmin = np.array([mins[z] for z in zone_ids])[:, None, None, None, None]
         zmax = np.array([maxs[z] for z in zone_ids])[:, None, None, None, None]
@@ -73,7 +69,7 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
         t_n = (target_phys - zmin) / (zmax - zmin)
         ssim = np.asarray(ssim_per_frame(jnp.asarray(p_n, jnp.float32),
                                          jnp.asarray(t_n, jnp.float32)))
-        all_ssim.append(ssim.mean(axis=2))
+        all_ssim.append(ssim.mean(axis=2)[:n_real])
 
     mse_array = np.concatenate(all_mse, axis=0)
     ssim_array = np.concatenate(all_ssim, axis=0)

@@ -11,7 +11,7 @@ import numpy as np
 
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.taxibj import TaxiBJ
-from spatiotemporal_variable_separation_tpu.eval.common import Evaluator
+from spatiotemporal_variable_separation_tpu.eval.common import Evaluator, batch_indices
 
 NT_PRED = 4
 
@@ -33,12 +33,8 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
     nt_cond, offset = cfg.nt_cond, cfg.offset
 
     all_mse = []
-    n = len(test_set)
-    n_batches = (n + batch_size - 1) // batch_size
-    if max_batches:
-        n_batches = min(n_batches, max_batches)
-    for b in range(n_batches):
-        idx = range(b * batch_size, min((b + 1) * batch_size, n))
+    for idx, n_real in batch_indices(len(test_set),
+                                     min(batch_size, len(test_set)), max_batches):
         items = [test_set[i] for i in idx]
         cond = np.stack([c for c, _ in items])
         target = np.stack([t for _, t in items])
@@ -47,6 +43,6 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
         else:
             pred = np.asarray(ev.forecast(cond, target.shape[1])[0])
         err = (pred.astype(np.float64) - target.astype(np.float64)) ** 2
-        all_mse.append(err.mean(axis=(2, 3, 4)))
+        all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
     mse_array = np.concatenate(all_mse, axis=0)
     return {"mse_t4": float(mse_array.mean(axis=0)[:NT_PRED].mean())}

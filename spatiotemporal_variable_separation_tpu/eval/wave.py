@@ -10,7 +10,7 @@ import numpy as np
 
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.wave_eq import WaveEq, WaveEqPartial
-from spatiotemporal_variable_separation_tpu.eval.common import Evaluator
+from spatiotemporal_variable_separation_tpu.eval.common import Evaluator, batch_indices
 
 NT_PRED = 40
 
@@ -34,12 +34,8 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 256,
     ev = Evaluator(model, variables)
 
     all_mse = []
-    n = len(ds)
-    n_batches = (n + batch_size - 1) // batch_size
-    if max_batches:
-        n_batches = min(n_batches, max_batches)
-    for b in range(n_batches):
-        idx = range(b * batch_size, min((b + 1) * batch_size, n))
+    for idx, n_real in batch_indices(len(ds), min(batch_size, len(ds)),
+                                     max_batches):
         items = [ds[i] for i in idx]
         cond = np.stack([c for c, _ in items])
         target = np.stack([t for _, t in items])
@@ -52,6 +48,6 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 256,
         # spatial(+channel) mean per frame; the reference's chained last-dim
         # means reduce to the same thing for both full and partial grids.
         mse = err.reshape(err.shape[0], err.shape[1], -1).mean(axis=2)
-        all_mse.append(mse)
+        all_mse.append(mse[:n_real])
     mse_array = np.concatenate(all_mse, axis=0)
     return {"mse_t40": float(mse_array.mean(axis=0)[:NT_PRED].mean())}
