@@ -176,6 +176,11 @@ class WaveEq:
         self.data = np.stack(data)[..., None]  # (N, nt, H, W, 1)
         self.nt = self.data.shape[1]
         self.windows = self.nt - self.seq_len + 1
+        if self.windows <= 0:
+            raise ValueError(
+                f"seq_len={seq_len} exceeds the {self.nt} frames available "
+                f"after downsampling by {downsample}; generate longer "
+                f"sequences (cli.gen_wave --seq_len >= {seq_len * downsample})")
 
     def __len__(self) -> int:
         return self.data.shape[0] * self.windows
