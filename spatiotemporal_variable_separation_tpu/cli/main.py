@@ -19,15 +19,19 @@ def main(argv=None):
                              "(capability the reference lacks).")
     parser.add_argument("--log_every", type=int, default=50,
                         help="Log loss terms every N steps (0 disables).")
+    parser.add_argument("--profile", action="store_true",
+                        help="Capture a jax.profiler trace of the first "
+                             "training steps to <xp_dir>/profile/.")
     args = parser.parse_args(argv)
     resume = args.resume
     log_every = args.log_every
-    del args.resume, args.log_every
+    profile = args.profile
+    del args.resume, args.log_every, args.profile
     cfg = config_from_args(args).validate()
     os.makedirs(cfg.xp_dir, exist_ok=True)
     # params.json dump (main.py:104-106) — eval CLIs reload this.
     cfg.save(os.path.join(cfg.xp_dir, "params.json"))
-    run_training(cfg, resume=resume, log_every=log_every)
+    run_training(cfg, resume=resume, log_every=log_every, profile=profile)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ from spatiotemporal_variable_separation_tpu.train.step import make_optimizer, ma
 
 def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                  log_every: int = 50, log_fn: Callable[[str], None] = print,
-                 resume: bool = False,
+                 resume: bool = False, profile: bool = False,
                  resume_state: Optional[TrainState] = None) -> TrainState:
     cfg = cfg.validate()
     if mesh is None:
@@ -90,6 +90,20 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                     c = jax.device_put(cond, data_shard)
                     t = jax.device_put(target, data_shard)
                     yield lambda s, c=c, t=t: step(s, c, t)
+
+        if profile:
+            # trace steps 3..13 (past compilation) to <xp_dir>/profile/.
+            from spatiotemporal_variable_separation_tpu.utils.profiling import trace
+
+            gen = updates(int(state.step) // n_steps)
+            for _ in range(min(3, n_steps)):
+                state, metrics = next(gen)(state)
+            jax.block_until_ready(state.params)
+            with trace(os.path.join(cfg.xp_dir, "profile")):
+                for _ in range(min(10, n_steps - 3)):
+                    state, metrics = next(gen)(state)
+                jax.block_until_ready(state.params)
+            log_fn(f"profiler trace written to {cfg.xp_dir}/profile")
 
         start_epoch = int(state.step) // n_steps
         for epoch in range(start_epoch, cfg.epochs):
