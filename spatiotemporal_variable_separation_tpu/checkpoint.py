@@ -53,8 +53,15 @@ def restore_checkpoint(xp_dir: str, state_template: TrainState,
     ``final``."""
     names = list_checkpoints(xp_dir)
     if name is None:
-        numeric = sorted((int(n) for n in names if n.isdigit()))
-        name = str(numeric[-1]) if numeric else "final"
+        # "final" is written on every clean or interrupted exit, so when it
+        # exists it is at least as new as any periodic (epoch-named) save.
+        if "final" in names:
+            name = "final"
+        else:
+            numeric = sorted((int(n) for n in names if n.isdigit()))
+            if not numeric:
+                raise FileNotFoundError(f"no checkpoints under {xp_dir!r}")
+            name = str(numeric[-1])
     path = os.path.join(_ckpt_dir(xp_dir), name)
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, state_template)

@@ -10,12 +10,16 @@ def main(argv=None):
     p.add_argument("--epoch", type=int, metavar="EPOCH", default=None)
     p.add_argument("--batch_size", type=int, metavar="BATCH", default=64)
     p.add_argument("--zones", type=int, nargs="+", default=list(range(17, 21)))
+    p.add_argument("--reference_broadcast", action="store_true",
+                   help="Reproduce the reference eval's stat-broadcast quirk "
+                        "exactly (for comparing against paper numbers).")
     args = p.parse_args(argv)
 
     from spatiotemporal_variable_separation_tpu.eval.sst import evaluate
 
     means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch,
-                     zones=args.zones)
+                     zones=args.zones,
+                     reference_broadcast=args.reference_broadcast)
     print(f"MSE at t+10: {means['mse_t10']}")
     print(f"MSE at t+6: {means['mse_t6']}")
     print(f"SSIM at t+10: {means['ssim_t10']}")

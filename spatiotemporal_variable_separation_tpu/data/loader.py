@@ -55,32 +55,38 @@ class Batcher:
     def __iter__(self) -> Iterator:
         idx = self._indices()
         n = len(self)
-        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size] for i in range(n)]
-        if not self.drop_last and len(self.dataset) % self.batch_size and n:
-            pass  # last ragged batch already included by __len__ ceil
+        batches = (self._assemble(idx[i * self.batch_size:(i + 1) * self.batch_size])
+                   for i in range(n))
         if self.num_workers <= 0:
-            for b in batches:
-                yield self._assemble(b)
+            yield from batches
+        else:
+            yield from background_iter(batches, self.num_workers)
+
+
+def background_iter(iterable, size: int) -> Iterator:
+    """Drain ``iterable`` on a daemon thread through a bounded queue so up
+    to ``size`` items are produced ahead of the consumer.  A producer
+    exception is re-raised at the consumer instead of silently ending."""
+    q: queue.Queue = queue.Queue(maxsize=max(1, size))
+    stop = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put((None, item))
+        except BaseException as e:  # noqa: BLE001 — surfaced to consumer
+            q.put((e, None))
             return
-        # Background assembly: a bounded queue keeps `num_workers` batches
-        # in flight ahead of the consumer.
-        q: queue.Queue = queue.Queue(maxsize=self.num_workers)
-        stop = object()
+        q.put((None, stop))
 
-        def producer():
-            try:
-                for b in batches:
-                    q.put(self._assemble(b))
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        err, item = q.get()
+        if err is not None:
+            raise err
+        if item is stop:
+            return
+        yield item
 
 
 def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None) -> Iterator:

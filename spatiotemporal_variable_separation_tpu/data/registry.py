@@ -3,8 +3,6 @@ iterators."""
 
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Iterator, Optional
 
 import numpy as np
@@ -98,11 +96,18 @@ def steps_per_epoch(cfg: ExperimentConfig, dataset) -> int:
 
 
 def epoch_iterator(cfg: ExperimentConfig, dataset, epoch: int) -> Iterator:
-    """Yield (cond, target) numpy batches for one epoch.
+    """Yield (cond, target) numpy batches for one epoch (exactly
+    ``steps_per_epoch(cfg, dataset)`` of them, so an explicit
+    --steps_per_epoch override, the LR schedule, and resume accounting all
+    agree).
 
     Datasets with a vectorized ``generate_batch`` (Moving MNIST) use it with
     a background prefetch thread; map-style datasets go through the
     shuffled Batcher."""
+    import itertools
+
+    from spatiotemporal_variable_separation_tpu.data.loader import background_iter
+
     n_steps = steps_per_epoch(cfg, dataset)
     if hasattr(dataset, "generate_batch"):
         nt_cond = cfg.nt_cond
@@ -114,25 +119,16 @@ def epoch_iterator(cfg: ExperimentConfig, dataset, epoch: int) -> Iterator:
 
         if cfg.num_workers <= 0:
             yield from gen()
-            return
-        q: queue.Queue = queue.Queue(maxsize=max(2, cfg.num_workers))
-        stop = object()
-
-        def producer():
-            try:
-                for item in gen():
-                    q.put(item)
-            finally:
-                q.put(stop)
-
-        threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is stop:
-                return
-            yield item
+        else:
+            yield from background_iter(gen(), max(2, cfg.num_workers))
     else:
         batcher = Batcher(dataset, cfg.batch_size, shuffle=True,
                           seed=cfg.seed + epoch, drop_last=True,
                           num_workers=cfg.num_workers)
-        yield from batcher
+        if len(batcher) < n_steps:
+            raise ValueError(
+                f"dataset provides only {len(batcher)} full batches per epoch "
+                f"(size {len(dataset)}, batch {cfg.batch_size}) but "
+                f"steps_per_epoch={n_steps}; reduce --batch_size or "
+                f"--steps_per_epoch")
+        yield from itertools.islice(iter(batcher), n_steps)

@@ -24,12 +24,12 @@ import numpy as np
 
 def _read_nc_var(f, name: str) -> np.ndarray:
     ds = f[name]
-    data = ds[()]
     attrs = dict(ds.attrs)
-    fill = attrs.get("_FillValue")
-    data = np.asarray(data, np.float64)
-    if fill is not None:
-        data = np.where(data == np.float64(fill), np.nan, data)
+    data = np.asarray(ds[()], np.float64)
+    # CF packing.  Note: _FillValue pixels are kept as their (scaled) raw
+    # values, matching the reference, which reads the masked array's .data
+    # (``sst.py:24-29``) — converting them to NaN would poison the per-frame
+    # normalization.
     scale = attrs.get("scale_factor")
     offset = attrs.get("add_offset")
     if scale is not None:

@@ -77,7 +77,7 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
              images: Optional[np.ndarray] = None) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
-            xp_dir, name=str(epoch) if epoch else None,
+            xp_dir, name=str(epoch) if epoch is not None else None,
             overrides=dict(nt_pred=nt_pred, data_dir=data_dir))
     else:
         model, variables, cfg = model_bundle

@@ -1,7 +1,16 @@
 """SST evaluation (reference ``var_sep/test/sst/test.py``): MSE at t+6 and
 t+10 in physical space (two-stage denormalization: per-frame stats then
 climatology, ``test.py:54-64``) and SSIM in per-zone min-max renormalized
-space (``test.py:66-71``); eval zones 17-20 held out (``test.py:37``)."""
+space (``test.py:66-71``); eval zones 17-20 held out (``test.py:37``).
+
+Documented reference quirk: the reference's (T, 1, 1)-shaped denorm stats
+broadcast against its (1, T, 1, H, W) forecasts into a (1, T, T, H, W)
+*cross* of forecast-times x stat-times (``test.py:54-71``), so its MSE@t is
+the pixel error at t scaled by mean_j (std_norm_j * std_clim_j)^2 and its
+SSIM averages over all stat-time renormalizations.  The default here
+applies the *intended* diagonal (frame t denormalized with stats of time
+t); pass ``reference_broadcast=True`` to reproduce the reference's numbers
+exactly (e.g. for comparing against the paper's SST table)."""
 
 from __future__ import annotations
 
@@ -22,10 +31,10 @@ NT_PRED = 10
 def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
              epoch: Optional[int] = None, zones: Sequence[int] = range(17, 21),
              max_batches: Optional[int] = None, model_bundle=None,
-             test_set=None) -> Dict[str, float]:
+             test_set=None, reference_broadcast: bool = False) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
-            xp_dir, name=str(epoch) if epoch else None,
+            xp_dir, name=str(epoch) if epoch is not None else None,
             overrides=dict(nt_pred=NT_PRED, data_dir=data_dir))
     else:
         model, variables, cfg = model_bundle
@@ -55,21 +64,45 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
         else:
             pred = np.asarray(ev.forecast(cond, nt_target)[0], np.float64)
 
-        # stage 1: invert per-frame stats; stage 2: invert climatology.
-        pred_phys = (pred * std_norm + mu_norm) * std_clim + mu_clim
-        target_phys = (target * std_norm + mu_norm) * std_clim + mu_clim
-        err = (pred_phys - target_phys) ** 2
-        all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
-
         zmin = np.array([mins[z] for z in zone_ids])[:, None, None, None, None]
         zmax = np.array([maxs[z] for z in zone_ids])[:, None, None, None, None]
-        # reference renormalizes the *physical* fields by the per-zone
-        # min/max of the normalized data (test.py:66-70) — kept as-is.
-        p_n = (pred_phys - zmin) / (zmax - zmin)
-        t_n = (target_phys - zmin) / (zmax - zmin)
-        ssim = np.asarray(ssim_per_frame(jnp.asarray(p_n, jnp.float32),
-                                         jnp.asarray(t_n, jnp.float32)))
-        all_ssim.append(ssim.mean(axis=2)[:n_real])
+        if not reference_broadcast:
+            # intended diagonal: frame t denormalized with stats of time t.
+            pred_phys = (pred * std_norm + mu_norm) * std_clim + mu_clim
+            target_phys = (target * std_norm + mu_norm) * std_clim + mu_clim
+            err = (pred_phys - target_phys) ** 2
+            all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
+            # reference renormalizes the *physical* fields by the per-zone
+            # min/max of the normalized data (test.py:66-70) — kept as-is.
+            p_n = (pred_phys - zmin) / (zmax - zmin)
+            t_n = (target_phys - zmin) / (zmax - zmin)
+            ssim = np.asarray(ssim_per_frame(jnp.asarray(p_n, jnp.float32),
+                                             jnp.asarray(t_n, jnp.float32)))
+            all_ssim.append(ssim.mean(axis=2)[:n_real])
+        else:
+            # faithful reproduction of the reference broadcast (test.py:54-71):
+            # forecast times t cross stat times j -> (B, T, J, H, W).
+            p = pred[:, :, None, :, :, 0]
+            t_ = target[:, :, None, :, :, 0]
+            sn = std_norm[:, None, :, 0, 0, :]  # (B,1,J,1) -> broadcast
+            mn = mu_norm[:, None, :, 0, 0, :]
+            sc = std_clim[:, None, :, 0, 0, :]
+            mc = mu_clim[:, None, :, 0, 0, :]
+            sn, mn, sc, mc = (a[..., None] for a in (sn, mn, sc, mc))
+            p_phys = (p * sn + mn) * sc + mc
+            t_phys = (t_ * sn + mn) * sc + mc
+            err = (p_phys - t_phys) ** 2
+            all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
+            p_r = (p_phys - zmin) / (zmax - zmin)
+            t_r = (t_phys - zmin) / (zmax - zmin)
+            b, tt, jj, hh, ww = p_r.shape
+            # stat-time axis as channels for per-(t, j) SSIM maps.
+            p_c = np.transpose(p_r, (0, 1, 3, 4, 2)).reshape(b * tt, 1, hh, ww, jj)
+            t_c = np.transpose(t_r, (0, 1, 3, 4, 2)).reshape(b * tt, 1, hh, ww, jj)
+            ssim = np.asarray(ssim_per_frame(jnp.asarray(p_c, jnp.float32),
+                                             jnp.asarray(t_c, jnp.float32)))
+            ssim = ssim.reshape(b, tt, jj)
+            all_ssim.append(ssim[:n_real])
 
     mse_array = np.concatenate(all_mse, axis=0)
     ssim_array = np.concatenate(all_ssim, axis=0)

@@ -21,7 +21,7 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
              model_bundle=None, test_set=None) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
-            xp_dir, name=str(epoch) if epoch else None,
+            xp_dir, name=str(epoch) if epoch is not None else None,
             overrides=dict(nt_pred=NT_PRED, data_dir=data_dir))
     else:
         model, variables, cfg = model_bundle

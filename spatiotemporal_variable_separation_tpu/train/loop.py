@@ -42,7 +42,8 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
     cfg = cfg.validate()
     if mesh is None:
         mesh = make_mesh(cfg.num_devices)
-    device_gen = make_device_generator(cfg, mesh)
+    # an explicitly passed dataset always wins over device synthesis.
+    device_gen = make_device_generator(cfg, mesh) if dataset is None else None
     if dataset is None and device_gen is None:
         dataset = make_train_dataset(cfg)
     n_steps = steps_per_epoch(cfg, dataset if dataset is not None else device_gen)
@@ -91,25 +92,30 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                     t = jax.device_put(target, data_shard)
                     yield lambda s, c=c, t=t: step(s, c, t)
 
-        if profile:
-            # trace steps 3..13 (past compilation) to <xp_dir>/profile/.
-            from spatiotemporal_variable_separation_tpu.utils.profiling import trace
-
-            gen = updates(int(state.step) // n_steps)
-            for _ in range(min(3, n_steps)):
-                state, metrics = next(gen)(state)
-            jax.block_until_ready(state.params)
-            with trace(os.path.join(cfg.xp_dir, "profile")):
-                for _ in range(min(10, n_steps - 3)):
-                    state, metrics = next(gen)(state)
-                jax.block_until_ready(state.params)
-            log_fn(f"profiler trace written to {cfg.xp_dir}/profile")
-
         start_epoch = int(state.step) // n_steps
+        metrics = None
+        # --profile traces steps 3..13 of the first epoch; the steps are
+        # part of normal training (the same iterator continues afterwards),
+        # so step counts and the LR schedule stay exact.
+        profile_after = int(state.step) + 3 if profile else -1
+        profile_ctx = None
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.time()
             for do_update in updates(epoch):
                 state, metrics = do_update(state)
+                if profile and profile_ctx is None and int(state.step) >= profile_after:
+                    from spatiotemporal_variable_separation_tpu.utils.profiling import trace
+
+                    jax.block_until_ready(state.params)
+                    profile_ctx = trace(os.path.join(cfg.xp_dir, "profile"))
+                    profile_ctx.__enter__()
+                    profile_until = int(state.step) + 10
+                elif profile_ctx is not None and int(state.step) >= profile_until:
+                    jax.block_until_ready(state.params)
+                    profile_ctx.__exit__(None, None, None)
+                    profile_ctx = None
+                    profile = False
+                    log_fn(f"profiler trace written to {cfg.xp_dir}/profile")
                 s = int(state.step)
                 if log_every and s % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -121,12 +127,14 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
             dt = time.time() - t_epoch
             sps = n_steps * cfg.batch_size / dt if dt > 0 else 0.0
             log_fn(f"epoch {epoch} done in {dt:.1f}s ({sps:.1f} samples/s)")
-            if mlog is not None:
+            if mlog is not None and metrics is not None:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["samples_per_sec"] = sps
                 mlog.log(int(state.step), m)
             if cfg.chkpt_interval is not None and (epoch + 1) % cfg.chkpt_interval == 0:
-                save_checkpoint(cfg.xp_dir, state)
+                # epoch-numbered like the reference's ov_Es_{N}.pt suffixes,
+                # so the eval CLIs' --epoch flag addresses them directly.
+                save_checkpoint(cfg.xp_dir, state, name=str(epoch + 1))
     except KeyboardInterrupt:
         log_fn("interrupted — saving final checkpoint")
     save_checkpoint(cfg.xp_dir, state, name="final")

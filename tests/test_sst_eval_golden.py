@@ -1,0 +1,128 @@
+"""SST eval golden test: ``reference_broadcast=True`` must reproduce the
+reference's accidental (T,T) stat-broadcast numbers exactly; the default
+diagonal mode must differ in the documented way (scale factor on MSE)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+
+h5py = pytest.importorskip("h5py")
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture
+def sst_env(tmp_path):
+    rng = np.random.default_rng(0)
+    for zone in (17, 18):
+        T = 120
+        base = 10 + 5 * np.sin(np.arange(T) / 7)[:, None, None]
+        thetao = base + rng.random((T, 64, 64)) * 2
+        with h5py.File(tmp_path / f"data_{zone}.nc", "w") as f:
+            f.create_dataset("thetao", data=thetao)
+            f.create_dataset("daily_mean", data=base[:, 0, 0])
+            f.create_dataset("daily_std", data=np.full(T, 2.0))
+    from spatiotemporal_variable_separation_tpu.core.config import ExperimentConfig
+    from spatiotemporal_variable_separation_tpu.models.factory import (
+        build_separable_network,
+    )
+
+    cfg = ExperimentConfig(data="sst", architecture="encoderSST",
+                           decoder_architecture="decoderSST", code_size_s=8,
+                           code_size_t=8, res_hidden_size=8, n_blocks=1,
+                           nt_cond=4, nt_pred=10, offset=0, skipco=True,
+                           precision="f32")
+    model = build_separable_network(cfg)
+    cond = jnp.ones((1, 4, 64, 64, 1))
+    variables = model.init(jax.random.PRNGKey(0), cond, 2, train=False)
+    return str(tmp_path), (model, dict(variables), cfg)
+
+
+def _ref_ssim_wrapper():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.datasets = types.SimpleNamespace(MNIST=None)
+        sys.modules["torchvision"] = tv
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from var_sep.test.utils import _ssim_wrapper
+
+    return _ssim_wrapper
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
+def test_reference_broadcast_mode_matches_torch_arithmetic(sst_env):
+    data_dir, bundle = sst_env
+    model, variables, cfg = bundle
+    from spatiotemporal_variable_separation_tpu.data.sst import SST
+    from spatiotemporal_variable_separation_tpu.eval.common import Evaluator
+    from spatiotemporal_variable_separation_tpu.eval.sst import evaluate
+
+    zones = [17, 18]
+    test_set = SST(data_dir, 4, 10, train=False, zones=zones, eval=True)
+    means = evaluate("/tmp", data_dir, batch_size=len(test_set),
+                     model_bundle=bundle, zones=zones, test_set=test_set,
+                     reference_broadcast=True)
+
+    # independent torch replication of the reference's eval arithmetic
+    # (test/sst/test.py:46-76), per sample with its broadcasting quirk.
+    _ssim_wrapper = _ref_ssim_wrapper()
+    mins, maxs = test_set.zone_min_max()
+    ev = Evaluator(model, variables)
+    all_mse, all_ssim = [], []
+    for i in range(len(test_set)):
+        cond, target, mu_c, std_c, mu_n, std_n, zone = test_set[i]
+        pred = np.asarray(ev.forecast(cond[None], target.shape[0])[0],
+                          np.float64)  # offset=0
+        f = torch.tensor(pred.transpose(0, 1, 4, 2, 3))        # (1,T,1,H,W)
+        t = torch.tensor(target[None].transpose(0, 1, 4, 2, 3)).double()
+        mu_n_t, std_n_t = torch.tensor(mu_n), torch.tensor(std_n)
+        mu_c_t, std_c_t = torch.tensor(mu_c), torch.tensor(std_c)
+        f = (f * std_n_t) + mu_n_t
+        t = (t * std_n_t) + mu_n_t
+        f = (f * std_c_t) + mu_c_t
+        t = (t * std_c_t) + mu_c_t
+        mse = (f - t).pow(2).mean(dim=-1).mean(dim=-1).mean(dim=-1)
+        mn, mx = mins[zone], maxs[zone]
+        f_r = (f - mn) / (mx - mn)
+        t_r = (t - mn) / (mx - mn)
+        ssim = _ssim_wrapper(f_r.float(), t_r.float())
+        all_mse.append(mse.numpy())
+        all_ssim.append(ssim.numpy())
+    mse_array = np.concatenate(all_mse, axis=0)
+    ssim_array = np.concatenate(all_ssim, axis=0)
+    ref = {
+        "mse_t10": float(np.mean(mse_array.mean(axis=0)[:10])),
+        "mse_t6": float(np.mean(mse_array.mean(axis=0)[:6])),
+        "ssim_t10": float(np.mean(ssim_array.mean(axis=0)[:10])),
+        "ssim_t6": float(np.mean(ssim_array.mean(axis=0)[:6])),
+    }
+    for k in ("mse_t10", "mse_t6"):
+        assert means[k] == pytest.approx(ref[k], rel=2e-4), k
+    for k in ("ssim_t10", "ssim_t6"):
+        # SSIM values here are near zero (untrained model), so f32
+        # cancellation noise dominates relative error; absolute agreement
+        # to ~1e-3 on the [-1, 1] SSIM scale is the meaningful check.
+        assert means[k] == pytest.approx(ref[k], abs=1e-3), k
+
+
+def test_diagonal_vs_broadcast_differ(sst_env):
+    data_dir, bundle = sst_env
+    from spatiotemporal_variable_separation_tpu.data.sst import SST
+    from spatiotemporal_variable_separation_tpu.eval.sst import evaluate
+
+    zones = [17, 18]
+    test_set = SST(data_dir, 4, 10, train=False, zones=zones, eval=True)
+    diag = evaluate("/tmp", data_dir, batch_size=16, model_bundle=bundle,
+                    zones=zones, test_set=test_set, max_batches=1)
+    cross = evaluate("/tmp", data_dir, batch_size=16, model_bundle=bundle,
+                     zones=zones, test_set=test_set, max_batches=1,
+                     reference_broadcast=True)
+    assert np.isfinite(diag["mse_t10"]) and np.isfinite(cross["mse_t10"])
