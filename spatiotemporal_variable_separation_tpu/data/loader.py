@@ -28,19 +28,24 @@ class Batcher:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 num_workers: int = 0):
+                 num_workers: int = 0, max_batches: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.num_workers = num_workers
+        self.max_batches = max_batches
 
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            n = n // self.batch_size
+        else:
+            n = (n + self.batch_size - 1) // self.batch_size
+        if self.max_batches is not None:
+            n = min(n, self.max_batches)
+        return n
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))

@@ -89,13 +89,12 @@ class DeviceMovingMNIST:
         self.frame_size = frame_size
         self.max_speed = max_speed
         self.digit_size = int(digit_images.shape[-1])
-        self._generate = jax.jit(self._generate_impl, static_argnames=("batch",))
+        # jit over the pure sampler with the corpus as an argument, so it
+        # lowers as an executable parameter (not an embedded constant).
+        self._generate = jax.jit(self.make_sample_fn(), static_argnames=("batch",))
 
     def __len__(self) -> int:
         return self.train_length
-
-    def _generate_impl(self, rng: jax.Array, batch: int) -> jnp.ndarray:
-        return self.sample_pure(self.digits, rng, batch)
 
     @property
     def data(self):
@@ -128,7 +127,7 @@ class DeviceMovingMNIST:
 
     def generate_device_batch(self, rng: jax.Array, batch: int
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        video = self._generate(rng, batch)
+        video = self._generate(self.digits, rng, batch)
         return video[:, : self.nt_cond], video[:, self.nt_cond:]
 
     @classmethod
@@ -141,7 +140,7 @@ class DeviceMovingMNIST:
         )
 
         try:
-            digits, _ = load_mnist(data_dir, train=True)
+            digits, _ = load_mnist(data_dir, train=True, require_labels=False)
         except FileNotFoundError:
             if not synthetic_fallback:
                 raise

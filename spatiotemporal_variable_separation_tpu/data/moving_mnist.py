@@ -56,14 +56,22 @@ def _read_idx(path: str) -> np.ndarray:
         return np.frombuffer(f.read(), dtype=np.uint8).reshape(shape)
 
 
-def load_mnist(data_dir: str, train: bool) -> Tuple[np.ndarray, np.ndarray]:
-    """Load MNIST digit images + labels from raw idx files."""
+def load_mnist(data_dir: str, train: bool,
+               require_labels: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Load MNIST digit images + labels from raw idx files.
+
+    A missing labels file raises unless ``require_labels=False`` (training
+    video synthesis never reads labels; test-set generation does)."""
     img = _find_idx(data_dir, _IDX_FILES[(train, "images")])
     lbl = _find_idx(data_dir, _IDX_FILES[(train, "labels")])
     if img is None:
         raise FileNotFoundError(
             f"MNIST idx files not found under {data_dir!r} (expected e.g. "
             f"{_IDX_FILES[(train, 'images')]}[.gz], possibly in MNIST/raw/)")
+    if lbl is None and require_labels:
+        raise FileNotFoundError(
+            f"MNIST labels idx file not found under {data_dir!r} "
+            f"({_IDX_FILES[(train, 'labels')]}[.gz])")
     images = _read_idx(img)
     labels = _read_idx(lbl) if lbl else np.zeros(len(images), np.uint8)
     return images, labels
@@ -92,20 +100,32 @@ def sample_trajectories(rng: np.random.RandomState, n: int, seq_len: int,
     """Generate ``n`` bouncing trajectories; returns int32 (n, seq_len, 4)
     with rows [sx, sy, dx, dy].
 
-    Deterministic mode exactly reproduces the reference geometry
+    Both modes exactly reproduce the reference geometry
     (``moving_mnist.py:131-253``): positions are recorded after collision
     processing at each step, then the object advances by its speed.  Draw
-    order per trajectory is sx, sy, dx, dy (``:153-157``), so a given
-    RandomState yields the same latents as the reference.
+    order (init sx, sy, dx, dy per trajectory ``:153-157``; in stochastic
+    mode two resampling draws per bounce iteration ``:232-234``) matches
+    the reference, so a given RandomState yields identical latents.
 
-    Stochastic mode (speed resampled at each bounce) is *distributionally*
-    equivalent but not call-order identical: the reference resamples inside
-    its retroactive-intersection loop, this implementation per reflection.
-    No README recipe or shipped test set uses the stochastic variant.
+    Deterministic mode uses the vectorized single-reflection fast path
+    (exact for integer positions/speeds); stochastic mode uses the faithful
+    retroactive-intersection solver per trajectory (fractional positions,
+    both speed components resampled at each bounce and the *new* speed
+    applied over the remaining fraction of the timestep).
 
     ``init``: optional (n, 4) initial [sx, sy, dx, dy] override.
     """
     m = frame_size - digit_size  # max coordinate
+    if not deterministic:
+        out = np.empty((n, seq_len, 4), np.int32)
+        for i in range(n):
+            if init is not None:
+                start = tuple(int(v) for v in init[i])
+            else:
+                start = None
+            out[i] = _stochastic_trajectory(rng, seq_len, m, max_speed, start)
+        return out
+
     if init is not None:
         sx, sy, dx, dy = (init[:, i].astype(np.int64).copy() for i in range(4))
     else:
@@ -125,14 +145,10 @@ def sample_trajectories(rng: np.random.RandomState, n: int, seq_len: int,
             under = s < 0
             if under.any():
                 s[under] = -s[under]
-                if not deterministic:
-                    d[under] = _resample_speed(rng, under.sum(), max_speed)
                 d[under] = np.abs(d[under])
             over = s > m
             if over.any():
                 s[over] = 2 * m - s[over]
-                if not deterministic:
-                    d[over] = _resample_speed(rng, over.sum(), max_speed)
                 d[over] = -np.abs(d[over])
         out[:, t, 0], out[:, t, 1] = sx, sy
         out[:, t, 2], out[:, t, 3] = dx, dy
@@ -141,8 +157,83 @@ def sample_trajectories(rng: np.random.RandomState, n: int, seq_len: int,
     return out
 
 
-def _resample_speed(rng, k, max_speed):
-    return rng.randint(-max_speed, max_speed + 1, size=k)
+_EPS = 1e-8
+
+
+def _stochastic_trajectory(rng, seq_len: int, m: int, max_speed: int,
+                           init=None) -> np.ndarray:
+    """Faithful stochastic bounce solver (reference ``moving_mnist.py:172-253``).
+
+    At each bounce the collision point with the first crossed border is
+    found retroactively, BOTH speed components are redrawn (two randints,
+    same call order as the reference), signs are set away from the touched
+    border(s), and the new speed is applied over the remaining fraction of
+    the timestep — positions become fractional and are recorded rounded."""
+    if init is None:
+        sx = float(rng.randint(0, m + 1))
+        sy = float(rng.randint(0, m + 1))
+        dx = int(rng.randint(-max_speed, max_speed + 1))
+        dy = int(rng.randint(-max_speed, max_speed + 1))
+    else:
+        sx, sy, dx, dy = float(init[0]), float(init[1]), int(init[2]), int(init[3])
+
+    out = np.empty((seq_len, 4), np.int32)
+    for t in range(seq_len):
+        left = sx < -_EPS
+        up = sy < -_EPS
+        right = sx > m + _EPS
+        bottom = sy > m + _EPS
+        while left or right or up or bottom:
+            if dx == 0:
+                cx, cy = (sx, 0.0) if up else (sx, float(m))
+            elif dy == 0:
+                cx, cy = (0.0, sy) if left else (float(m), sy)
+            else:
+                a = dy / dx
+                b = sy - a * sx
+                cx = cy = 0.0
+                if left:
+                    y_at = b
+                    left = -_EPS <= y_at <= m + _EPS
+                    if left:
+                        cx, cy = 0.0, y_at
+                if right:
+                    y_at = a * m + b
+                    right = -_EPS <= y_at <= m + _EPS
+                    if right:
+                        cx, cy = float(m), y_at
+                if up:
+                    x_at = -b / a
+                    up = -_EPS <= x_at <= m + _EPS
+                    if up:
+                        cx, cy = x_at, 0.0
+                if bottom:
+                    x_at = (m - b) / a
+                    bottom = -_EPS <= x_at <= m + _EPS
+                    if bottom:
+                        cx, cy = x_at, float(m)
+            # remaining fraction of the step, from the OLD speed
+            p = (sx - cx) / dx if dx != 0 else (sy - cy) / dy
+            dx = int(rng.randint(-max_speed, max_speed + 1))
+            dy = int(rng.randint(-max_speed, max_speed + 1))
+            if left:
+                dx = abs(dx)
+            if right:
+                dx = -abs(dx)
+            if up:
+                dy = abs(dy)
+            if bottom:
+                dy = -abs(dy)
+            sx = cx + dx * p
+            sy = cy + dy * p
+            left = sx < -_EPS
+            up = sy < -_EPS
+            right = sx > m + _EPS
+            bottom = sy > m + _EPS
+        out[t] = (int(round(sx)), int(round(sy)), dx, dy)
+        sx += dx
+        sy += dy
+    return out
 
 
 def composite(trajectories: np.ndarray, images: np.ndarray,
@@ -223,7 +314,7 @@ class MovingMNIST:
         loads digits (train) or the precomputed test npz (test)."""
         if train:
             try:
-                digits, _ = load_mnist(data_dir, train=True)
+                digits, _ = load_mnist(data_dir, train=True, require_labels=False)
             except FileNotFoundError:
                 if not synthetic_fallback:
                     raise
@@ -276,13 +367,15 @@ def make_test_set(data_dir: str, seq_len: int = 100, seed: int = 42,
     pick = digits_idx[: n_seq * digits].reshape(n_seq, digits)
     seq_objects = images[pick]
     seq_labels = labels[pick].astype(np.uint8)
-    videos = np.empty((n_seq, seq_len, frame_size, frame_size, 1), np.float32)
+    # composite + quantize per chunk: peak memory stays ~chunk-sized float32
+    # instead of the full 8 GB float32 video tensor of the canonical config.
+    sequences = np.empty((n_seq, seq_len, frame_size, frame_size), np.uint8)
     chunk = 256
     for s in range(0, n_seq, chunk):
         e = min(s + chunk, n_seq)
-        videos[s:e] = composite(latents[s:e], seq_objects[s:e], frame_size)
+        v = composite(latents[s:e], seq_objects[s:e], frame_size)
+        sequences[s:e] = (v[..., 0] * 255.0).round().astype(np.uint8)
 
-    sequences = (videos[..., 0] * 255.0).round().astype(np.uint8)
     sequences = sequences[:, :, None]  # (N, T, 1, H, W)
     sequences = sequences.transpose(1, 0, 2, 3, 4)  # (T, N, 1, H, W)
     lat = latents.transpose(2, 0, 1, 3)  # (T, N, digits, 4)

@@ -104,8 +104,6 @@ def epoch_iterator(cfg: ExperimentConfig, dataset, epoch: int) -> Iterator:
     Datasets with a vectorized ``generate_batch`` (Moving MNIST) use it with
     a background prefetch thread; map-style datasets go through the
     shuffled Batcher."""
-    import itertools
-
     from spatiotemporal_variable_separation_tpu.data.loader import background_iter
 
     n_steps = steps_per_epoch(cfg, dataset)
@@ -122,13 +120,15 @@ def epoch_iterator(cfg: ExperimentConfig, dataset, epoch: int) -> Iterator:
         else:
             yield from background_iter(gen(), max(2, cfg.num_workers))
     else:
+        # max_batches bounds the producer itself (no orphaned background
+        # thread blocked on a bounded queue when an epoch is truncated).
         batcher = Batcher(dataset, cfg.batch_size, shuffle=True,
                           seed=cfg.seed + epoch, drop_last=True,
-                          num_workers=cfg.num_workers)
+                          num_workers=cfg.num_workers, max_batches=n_steps)
         if len(batcher) < n_steps:
             raise ValueError(
                 f"dataset provides only {len(batcher)} full batches per epoch "
                 f"(size {len(dataset)}, batch {cfg.batch_size}) but "
                 f"steps_per_epoch={n_steps}; reduce --batch_size or "
                 f"--steps_per_epoch")
-        yield from itertools.islice(iter(batcher), n_steps)
+        yield from batcher

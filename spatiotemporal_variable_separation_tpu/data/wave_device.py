@@ -26,13 +26,12 @@ class DeviceWaveEq:
         self.seq_len = seq_len
         self.windows = self.data.shape[1] - seq_len + 1
         self.n_seq = self.data.shape[0]
-        self._sample = jax.jit(self._sample_impl, static_argnames=("batch",))
+        # corpus passed as an argument (executable parameter), never as a
+        # jit-embedded constant — it can be hundreds of MB.
+        self._sample = jax.jit(self.make_sample_fn(), static_argnames=("batch",))
 
     def __len__(self) -> int:
         return self.n_seq * self.windows
-
-    def _sample_impl(self, rng: jax.Array, batch: int) -> jnp.ndarray:
-        return self.make_sample_fn()(self.data, rng, batch)
 
     def make_sample_fn(self):
         """Pure ``f(data, rng, batch)`` (see DeviceMovingMNIST.make_sample_fn)."""
@@ -52,7 +51,7 @@ class DeviceWaveEq:
 
     def generate_device_batch(self, rng: jax.Array, batch: int
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        w = self._sample(rng, batch)
+        w = self._sample(self.data, rng, batch)
         return w[:, : self.nt_cond], w[:, self.nt_cond:]
 
     @classmethod

@@ -71,6 +71,18 @@ def test_stochastic_trajectories_stay_in_bounds():
     assert np.abs(trajs[..., 2:]).max() <= 4
 
 
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
+def test_stochastic_trajectory_golden_parity():
+    """Stochastic dynamics byte-identical to the reference retroactive
+    solver, including the two-resample-per-bounce RNG call order."""
+    RefMM = _import_reference_mm()
+    ref = RefMM([], 64, 0, 60, 4, False, 1, True)
+    np.random.seed(99)
+    ref_trajs = np.array([ref._compute_trajectory(28, 28) for _ in range(200)])
+    ours = sample_trajectories(np.random.RandomState(99), 200, 60, 64, 28, 4, False)
+    np.testing.assert_array_equal(ref_trajs, ours)
+
+
 def test_composite_overlap_clipping():
     imgs = np.full((1, 2, 28, 28), 200, np.uint8)
     trajs = np.zeros((1, 2, 1, 4), np.int32)  # both digits at (0, 0)
