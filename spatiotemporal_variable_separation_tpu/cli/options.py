@@ -134,8 +134,12 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
     torch_amp = d.pop("torch_amp", False)
     apex_amp = d.pop("apex_amp", False)
     precision = d.pop("precision", None)
+    if (torch_amp or apex_amp) and precision == "f32":
+        import warnings
+
+        warnings.warn("--torch_amp/--apex_amp map to bf16 compute but "
+                      "--precision f32 was given explicitly; training in f32.")
     if precision is None:
         precision = "bf16"  # AMP flags and the TPU default agree
     d["precision"] = precision
-    del torch_amp, apex_amp
     return ExperimentConfig.from_dict(d)

@@ -56,6 +56,11 @@ def batch_indices(n: int, batch_size: int, max_batches: Optional[int] = None):
     """Yield (indices, n_real) with the last batch padded to ``batch_size``
     by repeating the final index, so every batch has a static shape and the
     jitted forecast never retraces; callers slice results to ``n_real``."""
+    if n <= 0:
+        raise ValueError("evaluation dataset is empty (0 items) — check the "
+                         "data directory / split / horizon configuration")
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
     n_batches = (n + batch_size - 1) // batch_size
     if max_batches:
         n_batches = min(n_batches, max_batches)

@@ -28,6 +28,7 @@ from spatiotemporal_variable_separation_tpu.eval.common import (
     Evaluator,
     batch_indices,
     pixel_metrics,
+    to_uint8_nchw_last,
 )
 
 
@@ -101,7 +102,9 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
         gt_swap = np.stack([it[3] for it in swap_items])  # (B, n_perms, P, H, W, 1)
 
         _, s_code = ev.forecast(x_cond, nt_test)
-        test_cond = np.stack([test_set[i][0] for i in idx])
+        test_items = [test_set[i] for i in idx]
+        test_cond = np.stack([it[0] for it in test_items])
+        test_target = np.stack([it[1] for it in test_items])
         swap_pred = np.asarray(
             ev.forecast(test_cond, nt_test, init_s_code=s_code)[0][:, nt_cond:],
             np.float32)
@@ -115,15 +118,12 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
         results["psnr"].append(np.max(np.stack(per_perm["psnr"]), axis=0)[:n_real])
         results["ssim"].append(np.max(np.stack(per_perm["ssim"]), axis=0)[:n_real])
 
-        from spatiotemporal_variable_separation_tpu.eval.common import (
-            to_uint8_nchw_last,
-        )
-
         arch["content_swap"].append(to_uint8_nchw_last(swap_pred[:n_real]))
         arch["gt_swap"].append(to_uint8_nchw_last(gt_swap[:n_real, 0]))
         arch["cond_swap"].append(to_uint8_nchw_last(x_cond[:n_real]))
-        arch["target_swap"].append(to_uint8_nchw_last(
-            np.stack([it[1] for it in swap_items[:n_real]])))
+        # reference archives the canonical test-set target window
+        # (test_disentanglement.py:160-166).
+        arch["target_swap"].append(to_uint8_nchw_last(test_target[:n_real]))
 
     means = {k: float(np.concatenate(v).mean()) for k, v in results.items()}
     np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"),

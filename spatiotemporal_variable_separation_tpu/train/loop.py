@@ -137,8 +137,11 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                 save_checkpoint(cfg.xp_dir, state, name=str(epoch + 1))
     except KeyboardInterrupt:
         log_fn("interrupted — saving final checkpoint")
-    save_checkpoint(cfg.xp_dir, state, name="final")
-    if mlog is not None:
-        mlog.close()
+    finally:
+        # written on EVERY exit path (incl. crashes), so 'final' is always
+        # the newest state and restore_checkpoint's preference for it holds.
+        save_checkpoint(cfg.xp_dir, state, name="final")
+        if mlog is not None:
+            mlog.close()
     log_fn(f"total time {time.time() - t_start:.1f}s")
     return state
