@@ -62,16 +62,27 @@ class Chairs:
         return seq[: self.nt_cond], seq[self.nt_cond:]
 
 
+def _is_generated_name(name: str) -> bool:
+    stem, ext = os.path.splitext(name)
+    return ext == ".png" and stem.isdigit()
+
+
 def preprocess_chairs(data_dir: str, image_size: int = 64) -> None:
     """Crop (100,100,500,500) and LANCZOS-resize every render in place as
-    ``{i}.png`` (reference ``preprocessing/chairs/gen_chairs.py:23-33``)."""
+    ``{i}.png`` (reference ``preprocessing/chairs/gen_chairs.py:23-33``).
+
+    Unlike the reference, a second run is harmless: previously generated
+    numeric ``{i}.png`` outputs are excluded from the inputs (the reference
+    re-crops its own 64x64 outputs into black frames)."""
     from PIL import Image
 
     root = os.path.join(data_dir, "rendered_chairs")
     folders = [f for f in os.listdir(root) if f != "all_chair_names.mat"]
     for folder in folders:
         renders = os.path.join(root, folder, "renders")
-        for i, image_file in enumerate(sorted(os.listdir(renders))):
+        sources = [f for f in sorted(os.listdir(renders))
+                   if not _is_generated_name(f)]
+        for i, image_file in enumerate(sources):
             img = Image.open(os.path.join(renders, image_file))
             img = img.crop((100, 100, 500, 500)).resize(
                 (image_size, image_size), resample=Image.LANCZOS)

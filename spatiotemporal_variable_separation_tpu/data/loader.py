@@ -1,8 +1,9 @@
-"""Host data pipeline: shuffled batching with background prefetch.
+"""Host data pipeline: shuffled batching with parallel background assembly.
 
 TPU-native replacement for the reference's ``torch.utils.data.DataLoader``
-with worker processes (``var_sep/main.py:111-114``): a thread pool assembles
-numpy batches ahead of the training loop while the TPU computes, and
+with worker processes (``var_sep/main.py:111-114``): ``num_workers`` batches
+are assembled concurrently on a thread pool (PIL/numpy release the GIL
+during decode/copy) ahead of the training loop while the TPU computes, and
 ``prefetch_to_device`` keeps N batches in flight on device so host->HBM
 transfers overlap with the train step."""
 
@@ -60,12 +61,26 @@ class Batcher:
     def __iter__(self) -> Iterator:
         idx = self._indices()
         n = len(self)
-        batches = (self._assemble(idx[i * self.batch_size:(i + 1) * self.batch_size])
-                   for i in range(n))
+        slices = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                  for i in range(n)]
         if self.num_workers <= 0:
-            yield from batches
-        else:
-            yield from background_iter(batches, self.num_workers)
+            for s in slices:
+                yield self._assemble(s)
+            return
+        # parallel assembly: num_workers batches in flight, order preserved.
+        import collections as _collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            futures = _collections.deque()
+            it = iter(slices)
+            for s in list(zip(range(self.num_workers + 1), it)):
+                futures.append(ex.submit(self._assemble, s[1]))
+            for s in it:
+                yield futures.popleft().result()
+                futures.append(ex.submit(self._assemble, s))
+            while futures:
+                yield futures.popleft().result()
 
 
 def background_iter(iterable, size: int) -> Iterator:

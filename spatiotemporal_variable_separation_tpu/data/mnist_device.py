@@ -82,7 +82,10 @@ class DeviceMovingMNIST:
 
     def __init__(self, digit_images: np.ndarray, nt_cond: int, seq_len: int,
                  num_digits: int = 2, frame_size: int = 64, max_speed: int = 4):
-        self.digits = jnp.asarray(digit_images)  # (N, h, w) uint8, in HBM
+        # host copy; placed on device once by the caller (fused step) or
+        # lazily by the standalone generation path.
+        self.digits = np.asarray(digit_images)  # (N, h, w) uint8
+        self._device_digits = None
         self.nt_cond = nt_cond
         self.seq_len = seq_len
         self.num_digits = num_digits
@@ -98,7 +101,7 @@ class DeviceMovingMNIST:
 
     @property
     def data(self):
-        """Device-resident corpus for fused-train-step use."""
+        """Host corpus; the fused train step device_puts it (replicated)."""
         return self.digits
 
     def make_sample_fn(self):
@@ -125,9 +128,14 @@ class DeviceMovingMNIST:
     def sample_pure(self, data, rng, batch):
         return self.make_sample_fn()(data, rng, batch)
 
+    def _corpus(self) -> jnp.ndarray:
+        if self._device_digits is None:
+            self._device_digits = jnp.asarray(self.digits)
+        return self._device_digits
+
     def generate_device_batch(self, rng: jax.Array, batch: int
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        video = self._generate(self.digits, rng, batch)
+        video = self._generate(self._corpus(), rng, batch)
         return video[:, : self.nt_cond], video[:, self.nt_cond:]
 
     @classmethod

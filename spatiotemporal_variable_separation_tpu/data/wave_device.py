@@ -20,15 +20,23 @@ class DeviceWaveEq:
     """Uniform random (sequence, start) window sampler over device data."""
 
     def __init__(self, sequences: np.ndarray, nt_cond: int, seq_len: int):
-        # sequences: (N, nt, H, W, 1) float32 normalized
-        self.data = jnp.asarray(sequences)
+        # corpus kept on host; callers choose its device placement (the
+        # fused train step replicates it over the mesh) so it is resident
+        # exactly once in HBM.
+        self.data = np.asarray(sequences, np.float32)  # (N, nt, H, W, 1)
         self.nt_cond = nt_cond
         self.seq_len = seq_len
         self.windows = self.data.shape[1] - seq_len + 1
         self.n_seq = self.data.shape[0]
+        self._device_data = None
         # corpus passed as an argument (executable parameter), never as a
         # jit-embedded constant — it can be hundreds of MB.
         self._sample = jax.jit(self.make_sample_fn(), static_argnames=("batch",))
+
+    def _corpus(self) -> jnp.ndarray:
+        if self._device_data is None:
+            self._device_data = jnp.asarray(self.data)
+        return self._device_data
 
     def __len__(self) -> int:
         return self.n_seq * self.windows
@@ -51,7 +59,7 @@ class DeviceWaveEq:
 
     def generate_device_batch(self, rng: jax.Array, batch: int
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        w = self._sample(self.data, rng, batch)
+        w = self._sample(self._corpus(), rng, batch)
         return w[:, : self.nt_cond], w[:, self.nt_cond:]
 
     @classmethod

@@ -7,10 +7,17 @@ host-side and O(minutes).  Here the 2-D wave equation
 
     w'' = c^2 * Lap(w) + source(t) * mask
 
-is integrated as a first-order system with a classic fixed-step RK4 inside
-``lax.scan``, the 5th (or 3rd) order finite-difference Laplacian is a pair
-of shifted-slice sums, and the whole batch of sequences is ``vmap``-ped over
-(c, f0), so the dataset generates on-TPU in milliseconds.
+is integrated as a first-order system with a fixed-step 4th-order
+Runge-Kutta inside ``lax.scan``, the 5th (or 3rd) order finite-difference
+Laplacian is a pair of shifted-slice sums, and the whole batch of sequences
+is ``vmap``-ped over (c, f0), so the dataset generates on-TPU in
+milliseconds.
+
+RK tableau: the reference integrates through torchdiffeq 0.0.1's
+``method='rk4'``, which is the **3/8-rule** variant (stages at t+h/3 and
+t+2h/3, weights h/8·(k1+3k2+3k3+k4)), not the classic h/6 rule — the
+default here matches it (``tableau="38"``); ``tableau="classic"`` selects
+standard RK4 (both are 4th order; only bitwise dataset parity differs).
 
 Physics parity with the reference:
 * decaying source ``f0 * exp(-invT0 * t)``, invT0=20, circular r=5 mask at
@@ -73,35 +80,54 @@ def laplacian(w: jnp.ndarray, order: int = 5) -> jnp.ndarray:
     raise ValueError(f"unsupported stencil order {order}")
 
 
-@partial(jax.jit, static_argnames=("seq_len", "frame_size", "order", "circular"))
+@partial(jax.jit, static_argnames=("seq_len", "frame_size", "order",
+                                   "circular", "tableau"))
 def simulate_wave(c: jnp.ndarray, f0: jnp.ndarray, seq_len: int = 300,
                   frame_size: int = 64, dt: float = 0.001, invT0: float = 20.0,
-                  order: int = 5, circular: bool = True) -> jnp.ndarray:
+                  order: int = 5, circular: bool = True,
+                  tableau: str = "38") -> jnp.ndarray:
     """Integrate one wave sequence; returns (seq_len, H, W) of w.
 
     ``c``/``f0`` may be batched (same leading shape); the integrator is
-    vmapped over them."""
+    vmapped over them.  ``tableau``: "38" (torchdiffeq-rk4 parity, default)
+    or "classic"."""
     mask = circle_mask(frame_size, r=5 if circular else 1)
 
     def one(c_s, f0_s):
-        def f(t, state):
-            w, wd = state
+        def f(t, w, wd):
             acc = (c_s ** 2) * laplacian(w, order) + f0_s * jnp.exp(-invT0 * t) * mask
             return wd, acc
 
-        def rk4_step(state, t):
+        def step_classic(state, t):
             w, wd = state
-            k1 = f(t, state)
-            k2 = f(t + dt / 2, (w + dt / 2 * k1[0], wd + dt / 2 * k1[1]))
-            k3 = f(t + dt / 2, (w + dt / 2 * k2[0], wd + dt / 2 * k2[1]))
-            k4 = f(t + dt, (w + dt * k3[0], wd + dt * k3[1]))
+            k1 = f(t, w, wd)
+            k2 = f(t + dt / 2, w + dt / 2 * k1[0], wd + dt / 2 * k1[1])
+            k3 = f(t + dt / 2, w + dt / 2 * k2[0], wd + dt / 2 * k2[1])
+            k4 = f(t + dt, w + dt * k3[0], wd + dt * k3[1])
             w_n = w + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
             wd_n = wd + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
             return (w_n, wd_n), w_n
 
+        def step_38(state, t):
+            # 3/8-rule RK4, the torchdiffeq 'rk4' step function.
+            w, wd = state
+            third = dt / 3.0
+            k1 = f(t, w, wd)
+            k2 = f(t + third, w + third * k1[0], wd + third * k1[1])
+            k3 = f(t + 2 * third,
+                   w + dt * (k2[0] - k1[0] / 3.0),
+                   wd + dt * (k2[1] - k1[1] / 3.0))
+            k4 = f(t + dt,
+                   w + dt * (k1[0] - k2[0] + k3[0]),
+                   wd + dt * (k1[1] - k2[1] + k3[1]))
+            w_n = w + dt / 8 * (k1[0] + 3 * k2[0] + 3 * k3[0] + k4[0])
+            wd_n = wd + dt / 8 * (k1[1] + 3 * k2[1] + 3 * k3[1] + k4[1])
+            return (w_n, wd_n), w_n
+
+        step = step_38 if tableau == "38" else step_classic
         init = (jnp.zeros((frame_size, frame_size)), jnp.zeros((frame_size, frame_size)))
         ts = jnp.arange(seq_len - 1, dtype=jnp.float32) * dt
-        _, frames = jax.lax.scan(rk4_step, init, ts)
+        _, frames = jax.lax.scan(step, init, ts)
         return jnp.concatenate([init[0][None], frames], axis=0)
 
     c = jnp.asarray(c, jnp.float32)
@@ -128,11 +154,18 @@ def generate_dataset(data_dir: str, size: int = 300, seq_len: int = 300,
         f0s[i] = rng.uniform(1, 30)
         cs[i] = rng.uniform(300, 400)
     for start in range(0, size, batch):
-        sl = slice(start, min(start + batch, size))
-        sims = simulate_wave(jnp.asarray(cs[sl]), jnp.asarray(f0s[sl]),
+        stop = min(start + batch, size)
+        # pad a ragged final batch to the full width so the jitted
+        # integrator never retraces (compiles cost minutes on the tunneled
+        # TPU); padded sequences are discarded.
+        c_b = cs[start:start + batch] if stop - start == batch else np.resize(
+            cs[start:stop], batch)
+        f_b = f0s[start:start + batch] if stop - start == batch else np.resize(
+            f0s[start:stop], batch)
+        sims = simulate_wave(jnp.asarray(c_b), jnp.asarray(f_b),
                              seq_len=seq_len, frame_size=frame_size, dt=dt)
         sims = np.asarray(sims, np.float32)
-        for j, i in enumerate(range(sl.start, sl.stop)):
+        for j, i in enumerate(range(start, stop)):
             np.savez(os.path.join(out_dir, f"homogenous_wave{i}.npz"),
                      simul=sims[j], c=cs[i])
 

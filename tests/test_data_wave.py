@@ -48,32 +48,54 @@ def test_circle_mask_matches_reference_semantics():
     np.testing.assert_array_equal(m, ref)
 
 
-def test_simulator_matches_independent_rk4():
-    def np_sim(c, f0, seq_len, dt=1e-3):
-        jj, ii = np.meshgrid(range(64), range(64))
-        mask = (((jj - 32) ** 2 + (ii - 32) ** 2) < 25).astype(np.float64)
+def _np_sim(c, f0, seq_len, tableau, dt=1e-3):
+    jj, ii = np.meshgrid(range(64), range(64))
+    mask = (((jj - 32) ** 2 + (ii - 32) ** 2) < 25).astype(np.float64)
 
-        def f(t, y):
-            w, wd = y
-            return wd, c * c * _np_lap5(w) + f0 * np.exp(-20 * t) * mask
+    def f(t, y):
+        w, wd = y
+        return wd, c * c * _np_lap5(w) + f0 * np.exp(-20 * t) * mask
 
-        w = np.zeros((64, 64))
-        wd = np.zeros((64, 64))
-        frames = [w.copy()]
-        for s in range(seq_len - 1):
-            t = s * dt
-            k1 = f(t, (w, wd))
+    w = np.zeros((64, 64))
+    wd = np.zeros((64, 64))
+    frames = [w.copy()]
+    for s in range(seq_len - 1):
+        t = s * dt
+        k1 = f(t, (w, wd))
+        if tableau == "classic":
             k2 = f(t + dt / 2, (w + dt / 2 * k1[0], wd + dt / 2 * k1[1]))
             k3 = f(t + dt / 2, (w + dt / 2 * k2[0], wd + dt / 2 * k2[1]))
             k4 = f(t + dt, (w + dt * k3[0], wd + dt * k3[1]))
             w = w + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
             wd = wd + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
-            frames.append(w.copy())
-        return np.asarray(frames)
+        else:  # 3/8-rule (torchdiffeq 'rk4')
+            k2 = f(t + dt / 3, (w + dt / 3 * k1[0], wd + dt / 3 * k1[1]))
+            k3 = f(t + 2 * dt / 3, (w + dt * (k2[0] - k1[0] / 3),
+                                    wd + dt * (k2[1] - k1[1] / 3)))
+            k4 = f(t + dt, (w + dt * (k1[0] - k2[0] + k3[0]),
+                            wd + dt * (k1[1] - k2[1] + k3[1])))
+            w = w + dt / 8 * (k1[0] + 3 * k2[0] + 3 * k3[0] + k4[0])
+            wd = wd + dt / 8 * (k1[1] + 3 * k2[1] + 3 * k3[1] + k4[1])
+        frames.append(w.copy())
+    return np.asarray(frames)
 
-    ref = np_sim(350.0, 10.0, 15)
-    ours = np.asarray(simulate_wave(jnp.float32(350.0), jnp.float32(10.0), seq_len=15))
+
+@pytest.mark.parametrize("tableau", ["38", "classic"])
+def test_simulator_matches_independent_rk4(tableau):
+    ref = _np_sim(350.0, 10.0, 15, tableau)
+    ours = np.asarray(simulate_wave(jnp.float32(350.0), jnp.float32(10.0),
+                                    seq_len=15, tableau=tableau))
     assert np.abs(ref - ours).max() < 1e-8
+
+
+def test_tableaus_differ():
+    # sanity: the two tableaus produce different datasets (bitwise parity
+    # with the reference requires the 3/8 default).
+    a = np.asarray(simulate_wave(jnp.float32(350.0), jnp.float32(10.0),
+                                 seq_len=15, tableau="38"))
+    b = np.asarray(simulate_wave(jnp.float32(350.0), jnp.float32(10.0),
+                                 seq_len=15, tableau="classic"))
+    assert np.abs(a - b).max() > 0
 
 
 def test_generate_and_load_dataset(tmp_path):
