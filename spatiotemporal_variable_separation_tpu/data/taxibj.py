@@ -115,6 +115,12 @@ class TaxiBJ:
             data_all.append(data)
             timestamps_all.append(timestamps)
 
+        total_frames = sum(len(d) for d in data_all)
+        if total_frames <= len_test:
+            raise ValueError(
+                f"TaxiBJ data has {total_frames} complete-day frames but "
+                f"len_test={len_test}; the min-max fit slice would be empty "
+                f"(reference assumes the full 4-year corpus)")
         data_train = np.vstack(data_all)[:-len_test]
         mmn = MinMaxNormalization()
         mmn.fit(data_train)
