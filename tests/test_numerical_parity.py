@@ -164,6 +164,67 @@ def test_dcgan_encoder_forward_parity():
     np.testing.assert_allclose(ours, theirs, atol=5e-4)
 
 
+def test_vgg_encoder_forward_parity():
+    rconv, _, _, _ = _ref_modules()
+    from spatiotemporal_variable_separation_tpu.models.conv import VGG64Encoder
+
+    rng = np.random.default_rng(4)
+    seq = rng.random((2, 2, 64, 64, 1)).astype(np.float32)
+    enc = VGG64Encoder(nh=6, nf=4)
+    v = enc.init(jax.random.PRNGKey(0), jnp.asarray(seq))
+    ref = rconv.VGG64Encoder(2, 6, 4)
+
+    p, s = v["params"], v["batch_stats"]
+    # stage i, conv j -> reference nn.Sequential structure: stage 0 has
+    # convs at [0], [1]; stages 1-3 start with MaxPool so convs at [1]...
+    widths = [2, 2, 3, 3]
+    for i, w in enumerate(widths):
+        off = 0 if i == 0 else 1
+        for j in range(w):
+            blk = ref.conv[i][off + j]
+            name = f"stage_{i}_conv_{j}"
+            _conv_to_torch(blk[0], p[name]["conv"])
+            _bn_to_torch(blk[1], p[name]["bn"], s[name]["bn"])
+    # last_op: MaxPool, then conv+BN (no activation)
+    _conv_to_torch(ref.last_op[1][0], p["to_code"]["conv"])
+    _bn_to_torch(ref.last_op[1][1], p["to_code"]["bn"], s["to_code"]["bn"])
+
+    ref.eval()
+    ours = np.asarray(enc.apply(v, jnp.asarray(seq), train=False))
+    with torch.no_grad():
+        theirs = ref(_t(seq.transpose(0, 1, 4, 2, 3))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_sst_decoder_forward_parity():
+    rconv, _, _, _ = _ref_modules()
+    from spatiotemporal_variable_separation_tpu.models.conv import DecoderSST
+
+    rng = np.random.default_rng(5)
+    s_code = rng.random((1, 16, 16, 6)).astype(np.float32)
+    t_code = rng.random((1, 16, 16, 4)).astype(np.float32)
+    dec = DecoderSST(out_c=1, last_activation=None)
+    v = dec.init(jax.random.PRNGKey(0), jnp.asarray(s_code), jnp.asarray(t_code))
+    ref = rconv.DecoderSST(10, 1, None)
+
+    p, s = v["params"], v["batch_stats"]
+    # conv1: 3 blocks then Upsample; conv2: 3 blocks then Upsample; conv3: 2.
+    for stage, n_convs in (("conv1", 3), ("conv2", 3), ("conv3", 2)):
+        for j in range(n_convs):
+            blk = getattr(ref, stage)[j]
+            name = f"{stage}_{j}"
+            _conv_to_torch(blk[0], p[name]["conv"])
+            _bn_to_torch(blk[1], p[name]["bn"], s[name]["bn"])
+
+    ref.eval()
+    ours = np.asarray(dec.apply(v, jnp.asarray(s_code), jnp.asarray(t_code),
+                                train=False))
+    with torch.no_grad():
+        theirs = ref(_t(s_code.transpose(0, 3, 1, 2)),
+                     _t(t_code.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), theirs, atol=5e-4)
+
+
 def test_dcgan_decoder_forward_parity():
     rconv, _, _, _ = _ref_modules()
     from spatiotemporal_variable_separation_tpu.models.conv import DCGAN64Decoder
