@@ -164,6 +164,41 @@ def test_dcgan_encoder_forward_parity():
     np.testing.assert_allclose(ours, theirs, atol=5e-4)
 
 
+def test_resnet18_forward_parity():
+    rconv, _, _, _ = _ref_modules()
+    from spatiotemporal_variable_separation_tpu.models.resnet18 import ResNet18
+
+    rng = np.random.default_rng(6)
+    seq = rng.random((2, 1, 64, 64, 3)).astype(np.float32)
+    enc = ResNet18(pose_dim=5)
+    v = enc.init(jax.random.PRNGKey(0), jnp.asarray(seq))
+    ref = rconv.ResNet18(5, nc=3)
+
+    p, s = v["params"], v["batch_stats"]
+    _conv_to_torch(ref.conv1, p["stem_conv"])
+    _bn_to_torch(ref.bn1, p["stem_bn"], s["stem_bn"])
+    for stage in range(4):
+        layer = getattr(ref, f"layer{stage + 1}")
+        for block in range(2):
+            name = f"layer{stage + 1}_block{block}"
+            rb = layer[block]
+            _conv_to_torch(rb.conv1, p[name]["conv1"])
+            _bn_to_torch(rb.bn1, p[name]["bn1"], s[name]["bn1"])
+            _conv_to_torch(rb.conv2, p[name]["conv2"])
+            _bn_to_torch(rb.bn2, p[name]["bn2"], s[name]["bn2"])
+            if rb.downsample is not None:
+                _conv_to_torch(rb.downsample[0], p[name]["down_conv"])
+                _bn_to_torch(rb.downsample[1], p[name]["down_bn"],
+                             s[name]["down_bn"])
+    _conv_to_torch(ref.conv_out, p["conv_out"])
+
+    ref.eval()
+    ours = np.asarray(enc.apply(v, jnp.asarray(seq), train=False))
+    with torch.no_grad():
+        theirs = ref(_t(seq.transpose(0, 1, 4, 2, 3))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
 def test_vgg_encoder_forward_parity():
     rconv, _, _, _ = _ref_modules()
     from spatiotemporal_variable_separation_tpu.models.conv import VGG64Encoder
