@@ -16,6 +16,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import struct  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -23,3 +25,18 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def write_idx_images(path, images: np.ndarray) -> None:
+    """Write a MNIST images idx3 file (shared test fixture helper)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", 2051))
+        f.write(struct.pack(">III", *images.shape))
+        f.write(images.tobytes())
+
+
+def write_idx_labels(path, labels: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", 2049))
+        f.write(struct.pack(">I", labels.shape[0]))
+        f.write(labels.tobytes())

@@ -33,7 +33,7 @@ def _run(precision: str, steps: int = 5):
 
 def test_bf16_training_finite_and_close_to_f32():
     l16, s16 = _run("bf16")
-    l32, s32 = _run("f32")
+    l32, _ = _run("f32")
     assert all(np.isfinite(l16)), l16
     # bf16 loss tracks f32 within a loose tolerance (7-8 bit mantissa)
     for a, b in zip(l16, l32):

@@ -52,7 +52,7 @@ def test_chairs_deterministic_shuffle(chairs_dir):
     assert a.sequences == b.sequences  # RandomState(42) shuffle
 
 
-def test_chairs_swap_eval(chairs_dir):
+def test_chairs_swap_eval(chairs_dir, tmp_path):
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +70,9 @@ def test_chairs_swap_eval(chairs_dir):
     model = build_separable_network(cfg)
     variables = model.init(jax.random.PRNGKey(0), jnp.ones((2, 2, 64, 64, 3)),
                            2, train=False)
-    means = evaluate("/tmp", chairs_dir, nt_pred=3, batch_size=4, max_batches=1,
+    out = tmp_path / "xp_out"
+    out.mkdir()
+    means = evaluate(str(out), chairs_dir, nt_pred=3, batch_size=4, max_batches=1,
                      model_bundle=(model, dict(variables), cfg))
     assert set(means) == {"mse", "psnr", "ssim"}
     assert np.isfinite(means["mse"])

@@ -1,8 +1,6 @@
 """Checkpoint round-trip, resume, eval-protocol, and graft-entry tests."""
 
-import json
 import os
-import struct
 import sys
 
 import numpy as np
@@ -103,18 +101,8 @@ def test_load_for_eval(tmp_path):
 # Eval protocols on synthetic fixtures with a fresh tiny model
 # ----------------------------------------------------------------------
 
-def _write_idx_images(path, images):
-    with open(path, "wb") as f:
-        f.write(struct.pack(">I", 2051))
-        f.write(struct.pack(">III", *images.shape))
-        f.write(images.tobytes())
-
-
-def _write_idx_labels(path, labels):
-    with open(path, "wb") as f:
-        f.write(struct.pack(">I", 2049))
-        f.write(struct.pack(">I", labels.shape[0]))
-        f.write(labels.tobytes())
+from conftest import write_idx_images as _write_idx_images
+from conftest import write_idx_labels as _write_idx_labels
 
 
 @pytest.fixture
@@ -190,7 +178,9 @@ def test_eval_wave_protocol(tmp_path):
 
 
 def test_graft_entry_single_and_multichip():
-    sys.path.insert(0, "/root/repo")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     import __graft_entry__
 
     fn, args = __graft_entry__.entry()

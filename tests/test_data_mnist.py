@@ -2,7 +2,6 @@
 (imported read-only from /root/reference) and pipeline round-trips."""
 
 import os
-import struct
 import sys
 import types
 
@@ -92,18 +91,8 @@ def test_composite_overlap_clipping():
     assert float(video[0, 0, 40, 40, 0]) == 0.0
 
 
-def _write_idx_images(path, images):
-    with open(path, "wb") as f:
-        f.write(struct.pack(">I", 2051))
-        f.write(struct.pack(">III", *images.shape))
-        f.write(images.tobytes())
-
-
-def _write_idx_labels(path, labels):
-    with open(path, "wb") as f:
-        f.write(struct.pack(">I", 2049))
-        f.write(struct.pack(">I", labels.shape[0]))
-        f.write(labels.tobytes())
+from conftest import write_idx_images as _write_idx_images
+from conftest import write_idx_labels as _write_idx_labels
 
 
 @pytest.fixture

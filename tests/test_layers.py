@@ -114,3 +114,14 @@ def test_batchnorm_train_vs_eval():
     assert abs(float(jnp.mean(y_train))) < 0.1
     # running stats moved toward batch stats.
     assert not np.allclose(np.asarray(mutated["batch_stats"]["bn"]["mean"]), 0.0)
+    # eval mode must use the running statistics: with fresh stats
+    # (mean 0, var 1) the un-normalized conv output passes through, so it
+    # differs from the train-mode (batch-normalized) output...
+    y_eval_fresh = m.apply(v, x, train=False)
+    assert float(jnp.abs(y_eval_fresh - y_train).max()) > 0.5
+    # ...and with mutated stats the eval output changes accordingly
+    # (momentum 0.9: stats moved 10% toward the batch after one step).
+    y_eval_updated = m.apply({"params": v["params"],
+                              "batch_stats": mutated["batch_stats"]},
+                             x, train=False)
+    assert float(jnp.abs(y_eval_updated - y_eval_fresh).max()) > 0.05

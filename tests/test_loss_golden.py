@@ -59,9 +59,7 @@ def _build_pair():
     model = build_separable_network(cfg)
     cond = jnp.asarray(np.random.default_rng(0).random(
         (2, NT_COND, 16, 16, 1)), jnp.float32)
-    # frame shape is dataset-determined (64x64); rebuild decoder for 16x16
-    import dataclasses
-
+    # frame shape is dataset-determined (64x64); rebuild for 16x16 frames
     from spatiotemporal_variable_separation_tpu.models.integrator import MLPResnet
     from spatiotemporal_variable_separation_tpu.models.mlp_encdec import (
         MLPDecoder,

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 from spatiotemporal_variable_separation_tpu.core.config import ExperimentConfig
 from spatiotemporal_variable_separation_tpu.models.factory import build_separable_network
 
-RNG = np.random.default_rng(0)
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).random(shape)
 
 
 def mlp_cfg(**kw):
@@ -26,7 +27,7 @@ def mlp_cfg(**kw):
 
 def _setup(cfg):
     model = build_separable_network(cfg)
-    cond = jnp.asarray(RNG.random((2, cfg.nt_cond) + cfg.frame_shape), jnp.float32)
+    cond = jnp.asarray(_rand((2, cfg.nt_cond) + cfg.frame_shape), jnp.float32)
     variables = model.init(jax.random.key(0), cond, 2, train=False)
     return model, variables, cond
 
@@ -68,7 +69,7 @@ def test_content_swap_injection():
     model, variables, cond = _setup(cfg)
     _, _, s_code, _ = model.apply(variables, cond, 3, train=False,
                                   method=model.get_forecast)
-    other = jnp.asarray(RNG.random(cond.shape), jnp.float32)
+    other = jnp.asarray(_rand(cond.shape, seed=1), jnp.float32)
     fc_a = model.apply(variables, other, 3, None, s_code, False,
                        method=model.get_forecast)[0]
     fc_b = model.apply(variables, other, 3, train=False,
@@ -141,7 +142,7 @@ def _losses(model, variables, cond, target, t_random, offset, **kw):
 def test_s_invariance_loss_zero_for_static_sequence():
     cfg = mlp_cfg()
     model, variables, _ = _setup(cfg)
-    frame = jnp.asarray(RNG.random((2, 1) + cfg.frame_shape), jnp.float32)
+    frame = jnp.asarray(_rand((2, 1) + cfg.frame_shape, seed=2), jnp.float32)
     cond = jnp.repeat(frame, cfg.nt_cond, axis=1)
     target = jnp.repeat(frame, cfg.nt_pred, axis=1)
     _, metrics = _losses(model, variables, cond, target, t_random=5, offset=4)
@@ -151,7 +152,7 @@ def test_s_invariance_loss_zero_for_static_sequence():
 def test_t_reg_formulas():
     cfg = mlp_cfg()
     model, variables, cond = _setup(cfg)
-    target = jnp.asarray(RNG.random((2, cfg.nt_pred) + cfg.frame_shape), jnp.float32)
+    target = jnp.asarray(_rand((2, cfg.nt_pred) + cfg.frame_shape, seed=3), jnp.float32)
     _, m_sum = _losses(model, variables, cond, target, 5, 4, average_tloss=False)
     _, m_avg = _losses(model, variables, cond, target, 5, 4, average_tloss=True)
     # sum-over-code vs mean-over-code differ by exactly code_size (train.py:145-149)
@@ -164,7 +165,7 @@ def test_ae_supervision_frame_offset_semantics():
     decoder output is directly comparable."""
     cfg = mlp_cfg(offset=0, nt_pred=3)
     model, variables, cond = _setup(cfg)
-    target = jnp.asarray(RNG.random((2, 3) + cfg.frame_shape), jnp.float32)
+    target = jnp.asarray(_rand((2, 3) + cfg.frame_shape, seed=4), jnp.float32)
     # t_random ranges differ: offset=0 -> [nt_cond, T); offset=nt -> [nt, T].
     total0, _ = _losses(model, variables, cond, target, t_random=6, offset=0)
     total1, _ = _losses(model, variables, cond, target, t_random=6, offset=4)
@@ -177,7 +178,7 @@ def test_forecast_horizon_with_offset():
     the target is the full sequence (train.py:132-140)."""
     cfg = mlp_cfg()
     model, variables, cond = _setup(cfg)
-    target = jnp.asarray(RNG.random((2, cfg.nt_pred) + cfg.frame_shape), jnp.float32)
+    target = jnp.asarray(_rand((2, cfg.nt_pred) + cfg.frame_shape, seed=3), jnp.float32)
     fc, _, _, _ = model.apply(variables, cond, cfg.nt_pred + cfg.offset,
                               train=False, method=model.get_forecast)
     assert fc.shape[1] == cfg.nt_cond + cfg.nt_pred

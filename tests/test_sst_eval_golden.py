@@ -28,7 +28,9 @@ def sst_env(tmp_path):
         with h5py.File(tmp_path / f"data_{zone}.nc", "w") as f:
             f.create_dataset("thetao", data=thetao)
             f.create_dataset("daily_mean", data=base[:, 0, 0])
-            f.create_dataset("daily_std", data=np.full(T, 2.0))
+            # time-VARYING stds: the diagonal and the reference's (T,T)
+            # broadcast must disagree on this fixture.
+            f.create_dataset("daily_std", data=1.0 + (np.arange(T) % 5))
     from spatiotemporal_variable_separation_tpu.core.config import ExperimentConfig
     from spatiotemporal_variable_separation_tpu.models.factory import (
         build_separable_network,
@@ -58,7 +60,7 @@ def _ref_ssim_wrapper():
 
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
-def test_reference_broadcast_mode_matches_torch_arithmetic(sst_env):
+def test_reference_broadcast_mode_matches_torch_arithmetic(sst_env, tmp_path):
     data_dir, bundle = sst_env
     model, variables, cfg = bundle
     from spatiotemporal_variable_separation_tpu.data.sst import SST
@@ -67,14 +69,17 @@ def test_reference_broadcast_mode_matches_torch_arithmetic(sst_env):
 
     zones = [17, 18]
     test_set = SST(data_dir, 4, 10, train=False, zones=zones, eval=True)
-    means = evaluate("/tmp", data_dir, batch_size=len(test_set),
+    means = evaluate(str(tmp_path), data_dir, batch_size=len(test_set),
                      model_bundle=bundle, zones=zones, test_set=test_set,
                      reference_broadcast=True)
 
     # independent torch replication of the reference's eval arithmetic
     # (test/sst/test.py:46-76), per sample with its broadcasting quirk.
+    # min/max recomputed inline (reference get_min semantics, test.py:29-34)
+    # so a zone_min_max regression cannot self-confirm.
     _ssim_wrapper = _ref_ssim_wrapper()
-    mins, maxs = test_set.zone_min_max()
+    mins = {z: float(test_set.data[z].min()) for z in zones}
+    maxs = {z: float(test_set.data[z].max()) for z in zones}
     ev = Evaluator(model, variables)
     all_mse, all_ssim = [], []
     for i in range(len(test_set)):
@@ -113,16 +118,26 @@ def test_reference_broadcast_mode_matches_torch_arithmetic(sst_env):
         assert means[k] == pytest.approx(ref[k], abs=1e-3), k
 
 
-def test_diagonal_vs_broadcast_differ(sst_env):
+def test_diagonal_vs_broadcast_differ(sst_env, tmp_path):
     data_dir, bundle = sst_env
     from spatiotemporal_variable_separation_tpu.data.sst import SST
     from spatiotemporal_variable_separation_tpu.eval.sst import evaluate
 
     zones = [17, 18]
     test_set = SST(data_dir, 4, 10, train=False, zones=zones, eval=True)
-    diag = evaluate("/tmp", data_dir, batch_size=16, model_bundle=bundle,
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    diag = evaluate(out, data_dir, batch_size=16, model_bundle=bundle,
                     zones=zones, test_set=test_set, max_batches=1)
-    cross = evaluate("/tmp", data_dir, batch_size=16, model_bundle=bundle,
+    cross = evaluate(out, data_dir, batch_size=16, model_bundle=bundle,
                      zones=zones, test_set=test_set, max_batches=1,
                      reference_broadcast=True)
     assert np.isfinite(diag["mse_t10"]) and np.isfinite(cross["mse_t10"])
+    # with time-varying stats the two protocols must disagree measurably.
+    # note: the t+10 metric is structurally degenerate here (averaging over
+    # all t makes diag and cross coincide when pixel errors are t-flat);
+    # the t+6 window vs the 10-stat average is the discriminating case.
+    assert diag["mse_t6"] != pytest.approx(cross["mse_t6"], rel=1e-5)
+    assert diag["ssim_t6"] != pytest.approx(cross["ssim_t6"], rel=1e-5)

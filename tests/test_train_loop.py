@@ -2,7 +2,6 @@
 path (WaveEq), each a tiny end-to-end run with final checkpoint."""
 
 import os
-import struct
 
 import numpy as np
 import pytest
@@ -11,11 +10,7 @@ from spatiotemporal_variable_separation_tpu.core.config import ExperimentConfig
 from spatiotemporal_variable_separation_tpu.train.loop import run_training
 
 
-def _write_idx_images(path, images):
-    with open(path, "wb") as f:
-        f.write(struct.pack(">I", 2051))
-        f.write(struct.pack(">III", *images.shape))
-        f.write(images.tobytes())
+from conftest import write_idx_images as _write_idx_images
 
 
 def test_run_training_mnist_device_datagen(tmp_path):

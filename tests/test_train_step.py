@@ -113,7 +113,6 @@ def test_overfit_fixed_batch():
     tx = make_optimizer(cfg, 10)
     state = create_train_state(model, cfg, tx)
     step = make_train_step(model, cfg, tx)
-    rng = np.random.default_rng(2)
     t = np.arange(cfg.nt_cond + cfg.nt_pred)[None, :, None, None, None]
     xx = np.linspace(0, 2 * np.pi, 64)
     field = (np.sin(xx[None, None, :, None, None] + 0.3 * t)
