@@ -225,7 +225,44 @@ def get_baseline():
     return entry
 
 
+def preflight():
+    """Fail fast with ONE actionable line if the TPU backend is unusable.
+
+    Round-1 failure mode (BENCH_r01.json): backend init raised deep inside
+    xla_bridge with a 40-line traceback; a wedged tunnel can also hang
+    init forever. Guard both: catch the raise, and arm a watchdog that
+    converts a hang into a clean one-line exit.
+    """
+    import threading
+
+    def _die():
+        print(json.dumps({
+            "metric": "train_samples_per_sec_per_chip", "value": None,
+            "error": "TPU backend init timed out after 420s — tunnel "
+                     "likely wedged; restart the container and re-run"}))
+        os._exit(2)
+
+    watchdog = threading.Timer(420.0, _die)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        import jax
+
+        n = len(jax.devices())
+        jax.numpy.zeros(()).item()  # hard fence: device round-trip works
+    except Exception as e:
+        watchdog.cancel()
+        msg = str(e).splitlines()[0] if str(e) else type(e).__name__
+        print(json.dumps({
+            "metric": "train_samples_per_sec_per_chip", "value": None,
+            "error": f"TPU backend unavailable: {msg}"}))
+        sys.exit(1)
+    watchdog.cancel()
+    print(f"preflight ok: {n} device(s)", file=sys.stderr)
+
+
 def main():
+    preflight()
     value, n_dev, loss, stats = bench_tpu()
     baseline = get_baseline()
     vs = value / baseline["baseline_samples_per_sec"] if baseline else None

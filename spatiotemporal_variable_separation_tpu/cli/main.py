@@ -29,8 +29,13 @@ def main(argv=None):
     del args.resume, args.log_every, args.profile
     cfg = config_from_args(args).validate()
     os.makedirs(cfg.xp_dir, exist_ok=True)
-    # params.json dump (main.py:104-106) — eval CLIs reload this.
-    cfg.save(os.path.join(cfg.xp_dir, "params.json"))
+    # params.json dump (main.py:104-106) — eval CLIs reload this.  On
+    # --resume an existing dump is kept: it may carry the steps_per_epoch
+    # frozen by the first run, which keeps the epoch-granular LR schedule
+    # invariant under resume (run_training adopts it).
+    params_path = os.path.join(cfg.xp_dir, "params.json")
+    if not (resume and os.path.isfile(params_path)):
+        cfg.save(params_path)
     run_training(cfg, resume=resume, log_every=log_every, profile=profile)
 
 

@@ -12,12 +12,20 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, metavar="BATCH", default=16)
     p.add_argument("--nt_pred", type=int, metavar="PRED", required=True)
     p.add_argument("--test_seed", type=int, metavar="SEED", default=1)
+    p.add_argument("--devices", type=int, metavar="N", default=None,
+                   help="Shard the eval rollout data-parallel over N devices "
+                        "(default: single device).")
     args = p.parse_args(argv)
+
+    mesh = None
+    if args.devices:
+        from spatiotemporal_variable_separation_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.devices)
 
     from spatiotemporal_variable_separation_tpu.eval.chairs_swap import evaluate
 
     means = evaluate(args.xp_dir, args.data_dir, args.nt_pred, args.batch_size,
-                     args.test_seed, args.epoch)
+                     args.test_seed, args.epoch, mesh=mesh)
     print("Results:")
     for k, v in means.items():
         print(k, v)

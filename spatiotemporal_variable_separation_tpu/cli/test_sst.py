@@ -13,13 +13,21 @@ def main(argv=None):
     p.add_argument("--reference_broadcast", action="store_true",
                    help="Reproduce the reference eval's stat-broadcast quirk "
                         "exactly (for comparing against paper numbers).")
+    p.add_argument("--devices", type=int, metavar="N", default=None,
+                   help="Shard the eval rollout data-parallel over N devices "
+                        "(default: single device).")
     args = p.parse_args(argv)
+
+    mesh = None
+    if args.devices:
+        from spatiotemporal_variable_separation_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.devices)
 
     from spatiotemporal_variable_separation_tpu.eval.sst import evaluate
 
     means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch,
                      zones=args.zones,
-                     reference_broadcast=args.reference_broadcast)
+                     reference_broadcast=args.reference_broadcast, mesh=mesh)
     print(f"MSE at t+10: {means['mse_t10']}")
     print(f"MSE at t+6: {means['mse_t6']}")
     print(f"SSIM at t+10: {means['ssim_t10']}")

@@ -75,14 +75,14 @@ class SwapDataset:
 def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
              test_seed: int = 1, epoch: Optional[int] = None,
              max_batches: Optional[int] = None, model_bundle=None,
-             images: Optional[np.ndarray] = None) -> Dict[str, float]:
+             images: Optional[np.ndarray] = None, mesh=None) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
             overrides=dict(nt_pred=nt_pred, data_dir=data_dir))
     else:
         model, variables, cfg = model_bundle
-    ev = Evaluator(model, variables)
+    ev = Evaluator(model, variables, mesh=mesh)
     nt_cond = cfg.nt_cond
     nt_test = nt_cond + nt_pred
     rng = np.random.RandomState(test_seed)

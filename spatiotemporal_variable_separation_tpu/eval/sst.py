@@ -31,7 +31,8 @@ NT_PRED = 10
 def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
              epoch: Optional[int] = None, zones: Sequence[int] = range(17, 21),
              max_batches: Optional[int] = None, model_bundle=None,
-             test_set=None, reference_broadcast: bool = False) -> Dict[str, float]:
+             test_set=None, reference_broadcast: bool = False,
+             mesh=None) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -42,7 +43,7 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
         test_set = SST(data_dir, cfg.nt_cond, NT_PRED, train=False,
                        zones=zones, eval=True)
     mins, maxs = test_set.zone_min_max()
-    ev = Evaluator(model, variables)
+    ev = Evaluator(model, variables, mesh=mesh)
     nt_cond, offset = cfg.nt_cond, cfg.offset
 
     all_mse, all_ssim = [], []

@@ -18,7 +18,7 @@ NT_PRED = 4
 
 def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
              epoch: Optional[int] = None, max_batches: Optional[int] = None,
-             model_bundle=None, test_set=None) -> Dict[str, float]:
+             model_bundle=None, test_set=None, mesh=None) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -29,7 +29,7 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
         test_set = TaxiBJ.make_datasets(data_dir,
                                         len_closeness=cfg.nt_cond + NT_PRED,
                                         nt_cond=cfg.nt_cond)[1]
-    ev = Evaluator(model, variables)
+    ev = Evaluator(model, variables, mesh=mesh)
     nt_cond, offset = cfg.nt_cond, cfg.offset
 
     all_mse = []

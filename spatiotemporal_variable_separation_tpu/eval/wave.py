@@ -17,7 +17,7 @@ NT_PRED = 40
 
 def evaluate(xp_dir: str, data_dir: str, batch_size: int = 256,
              epoch: Optional[int] = None, max_batches: Optional[int] = None,
-             model_bundle=None) -> Dict[str, float]:
+             model_bundle=None, mesh=None) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -31,7 +31,7 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 256,
     else:
         ds = WaveEqPartial(data_dir, nt_cond, nt_cond + NT_PRED, train=False,
                            downsample=cfg.downsample, n_pixels=cfg.n_wave_points)
-    ev = Evaluator(model, variables)
+    ev = Evaluator(model, variables, mesh=mesh)
 
     all_mse = []
     for idx, n_real in batch_indices(len(ds), min(batch_size, len(ds)),

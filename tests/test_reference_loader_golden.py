@@ -1,0 +1,251 @@
+"""Golden parity: run the REFERENCE's own data loaders (torch, from
+/root/reference) on shared synthetic fixtures and assert our loaders
+produce numerically identical normalized tensors.
+
+This closes the last parity-risk surface flagged in SURVEY.md §7 ("five
+heterogeneous data stacks with exact normalization reproduction"): TaxiBJ's
+train-slice min-max fit + closeness sequences, SST's two-stage
+normalization, Chairs' RandomState(42) split + mod-62 wraparound, and
+WaveEq's per-sequence min-max + downsample windows.  netCDF4 is absent in
+this image, so the reference SST loader runs against a minimal h5py-backed
+shim of the one netCDF4 API it uses (Dataset(fp).variables[v][:].data).
+"""
+
+import datetime
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference repo not mounted")
+
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+# -- netCDF4 shim (reference sst.py:21,26-29 uses only this surface) --------
+if "netCDF4" not in sys.modules:
+    class _Var:
+        def __init__(self, dset):
+            self._d = dset
+
+        def __getitem__(self, sl):
+            return np.ma.masked_array(self._d[sl])
+
+    class _NCDataset:
+        def __init__(self, path, mode="r"):
+            self._f = h5py.File(path, "r")
+
+        @property
+        def variables(self):
+            return {k: _Var(self._f[k]) for k in self._f.keys()}
+
+    _mod = types.ModuleType("netCDF4")
+    _mod.Dataset = _NCDataset
+    sys.modules["netCDF4"] = _mod
+
+
+# -- fixtures (shapes/layouts as the real corpora) ---------------------------
+
+@pytest.fixture(scope="module")
+def taxibj_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("taxibj")
+    for year, days in zip(range(13, 17), (4, 4, 4, 6)):
+        dates = []
+        for d in range(days):
+            day = datetime.date(2000 + year, 7, 1) + datetime.timedelta(days=d)
+            for slot in range(1, 49):
+                if year == 14 and (d, slot) == (1, 10):
+                    continue  # one incomplete day
+                dates.append(f"{day:%Y%m%d}{slot:02d}".encode())
+        rng = np.random.default_rng(len(dates))
+        data = (rng.random((len(dates), 2, 32, 32)) * 100 * year - 5.0)
+        with h5py.File(root / f"BJ{year}_M32x32_T30_InOut.h5", "w") as f:
+            f.create_dataset("data", data=data)
+            f.create_dataset("date", data=np.array(dates))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def sst_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sst")
+    rng = np.random.default_rng(0)
+    for zone in (1, 2):
+        T = 100
+        base = 10 + 5 * np.sin(np.arange(T) / 10)[:, None, None]
+        thetao = base + rng.random((T, 64, 64)) * 2
+        with h5py.File(root / f"data_{zone}.nc", "w") as f:
+            f.create_dataset("thetao", data=thetao)
+            f.create_dataset("daily_mean", data=base[:, 0, 0])
+            f.create_dataset("daily_std", data=np.full(T, 2.0))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def chairs_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("chairs")
+    base = root / "rendered_chairs"
+    rng = np.random.default_rng(3)
+    from PIL import Image
+
+    for obj in range(5):
+        d = base / f"chair_{obj:03d}" / "renders"
+        d.mkdir(parents=True)
+        for i in range(62):
+            arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d.parent / "renders" / f"{i}.png")
+    (base / "all_chair_names.mat").write_bytes(b"")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def wave_dir(tmp_path_factory):
+    """Same simulations, saved as .pt (the interchange format both loaders
+    read).  The reference's extract_id regexes the FULL path for the first
+    integer (wave_eq.py:26-27), so the fixture must live at a digit-free
+    absolute path, not under pytest's numbered tmp dirs."""
+    import pathlib
+    import shutil
+
+    root = pathlib.Path("/tmp/goldenwavefixture")
+    if root.exists():
+        shutil.rmtree(root)
+    (root / "data").mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        simul = rng.random((40, 64, 64)).astype(np.float32) * (i + 1)
+        torch.save({"simul": torch.tensor(simul), "c": 350.0},
+                   root / "data" / f"homogenous_wave{i}.pt")
+    return str(root)
+
+
+# -- TaxiBJ ------------------------------------------------------------------
+
+def test_taxibj_matches_reference(taxibj_dir):
+    from var_sep.data.taxibj import TaxiBJ as RefTaxiBJ
+
+    from spatiotemporal_variable_separation_tpu.data.taxibj import TaxiBJ
+
+    # the synthetic corpus is small: shrink the test slice accordingly
+    kw = dict(len_closeness=8, nt_cond=4, len_test=96)
+    ref_train, ref_test = RefTaxiBJ.make_datasets(taxibj_dir, **kw)
+    our_train, our_test = TaxiBJ.make_datasets(taxibj_dir, **kw)
+
+    assert len(ref_train) == len(our_train)
+    assert len(ref_test) == len(our_test)
+    # min-max fit on the train slice must agree exactly
+    np.testing.assert_allclose([ref_train.mmn._min, ref_train.mmn._max],
+                               [our_train.mmn._min, our_train.mmn._max])
+    for ds_ref, ds_ours in ((ref_train, our_train), (ref_test, our_test)):
+        for idx in (0, 1, len(ds_ref) // 2, len(ds_ref) - 1):
+            rc, rt = ds_ref[idx]   # (T, C, H, W) torch
+            oc, ot = ds_ours[idx]  # (T, H, W, C) numpy
+            np.testing.assert_allclose(rc.numpy(), oc.transpose(0, 3, 1, 2),
+                                       rtol=0, atol=1e-6)
+            np.testing.assert_allclose(rt.numpy(), ot.transpose(0, 3, 1, 2),
+                                       rtol=0, atol=1e-6)
+
+
+# -- SST ----------------------------------------------------------------------
+
+def test_sst_matches_reference(sst_dir):
+    from var_sep.data.sst import SST as RefSST
+
+    from spatiotemporal_variable_separation_tpu.data.sst import SST
+
+    for train in (True, False):
+        ref = RefSST(sst_dir, nt_cond=4, nt_pred=6, train=train, zones=[1, 2])
+        ours = SST(sst_dir, nt_cond=4, nt_pred=6, train=train, zones=[1, 2])
+        assert len(ref) == len(ours)
+        for zone in (1, 2):
+            np.testing.assert_allclose(ref.data[zone], ours.data[zone],
+                                       rtol=0, atol=1e-5)
+        for idx in (0, len(ref) // 2, len(ref) - 1):
+            rc, rt = ref[idx]
+            oc, ot = ours[idx]
+            np.testing.assert_allclose(rc.numpy()[:, 0],
+                                       np.squeeze(np.asarray(oc), -1),
+                                       rtol=0, atol=1e-5)
+            np.testing.assert_allclose(rt.numpy()[:, 0],
+                                       np.squeeze(np.asarray(ot), -1),
+                                       rtol=0, atol=1e-5)
+
+    # eval variant: denormalization stats slices must be identical
+    ref = RefSST(sst_dir, nt_cond=4, nt_pred=6, train=False, zones=[1, 2],
+                 eval=True)
+    ours = SST(sst_dir, nt_cond=4, nt_pred=6, train=False, zones=[1, 2],
+               eval=True)
+    for idx in (0, len(ref) - 1):
+        r = ref[idx]
+        o = ours[idx]
+        for ri, oi in zip(r[2:6], o[2:6]):
+            np.testing.assert_allclose(np.asarray(ri), np.asarray(oi),
+                                       rtol=0, atol=1e-5)
+        assert r[6] == o[6]  # zone id
+
+
+# -- Chairs -------------------------------------------------------------------
+
+def test_chairs_matches_reference(chairs_dir):
+    from var_sep.data.chairs import Chairs as RefChairs
+
+    from spatiotemporal_variable_separation_tpu.data.chairs import Chairs
+
+    for train in (True, False):
+        ref = RefChairs(train, chairs_dir, nt_cond=3, seq_len=10)
+        ours = Chairs(train, chairs_dir, nt_cond=3, seq_len=10)
+        assert len(ref) == len(ours)
+        # identical RandomState(42) shuffle -> identical object order
+        for idx in (0, 7, len(ref) - 1):  # incl. a mod-62 wraparound window
+            rc, rt = ref[idx]
+            oc, ot = ours[idx]
+            np.testing.assert_allclose(rc.numpy(), oc.transpose(0, 3, 1, 2),
+                                       rtol=0, atol=1e-6)
+            np.testing.assert_allclose(rt.numpy(), ot.transpose(0, 3, 1, 2),
+                                       rtol=0, atol=1e-6)
+
+
+# -- WaveEq -------------------------------------------------------------------
+
+def test_wave_matches_reference(wave_dir):
+    from var_sep.data.wave_eq import WaveEq as RefWaveEq
+
+    from spatiotemporal_variable_separation_tpu.data.wave_eq import WaveEq
+
+    from var_sep.data.wave_eq import extract_id
+
+    base = os.path.join(wave_dir, "data")
+    n_files = len(os.listdir(base))
+    max_seq = int(0.8 * n_files)
+    for train in (True, False):
+        ref = RefWaveEq(wave_dir, nt_cond=3, seq_len=8, train=train,
+                        downsample=2)
+        ours = WaveEq(wave_dir, nt_cond=3, seq_len=8, train=train,
+                      downsample=2)
+        # Two documented divergences bridged here: the reference's __len__
+        # uses frame height instead of window count (wave_eq.py:62-65), and
+        # its sequence order is raw os.listdir order (wave_eq.py:37-46)
+        # while ours is sorted by sequence id.  Window *content* for the
+        # same (sequence, offset) must agree exactly.
+        ref_ids = [extract_id(os.path.join(base, f))
+                   for f in os.listdir(base)
+                   if (extract_id(os.path.join(base, f)) < max_seq) == train]
+        our_ids = sorted(ref_ids)
+        windows = ours.windows
+        for our_seq_pos, sid in enumerate(our_ids):
+            ref_seq_pos = ref_ids.index(sid)
+            for j in (0, windows - 1):
+                rc, rt = ref[ref_seq_pos * windows + j]
+                oc, ot = ours[our_seq_pos * windows + j]
+                np.testing.assert_allclose(rc.numpy(),
+                                           oc.transpose(0, 3, 1, 2),
+                                           rtol=0, atol=1e-6)
+                np.testing.assert_allclose(rt.numpy(),
+                                           ot.transpose(0, 3, 1, 2),
+                                           rtol=0, atol=1e-6)
