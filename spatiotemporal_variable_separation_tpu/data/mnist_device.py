@@ -45,6 +45,133 @@ def fold_positions(s0: jnp.ndarray, d: jnp.ndarray, seq_len: int,
     return limit - jnp.abs(zm - limit)
 
 
+_EPS = 1e-8
+# Bounce-resolution bound per timestep: each iteration no-ops once the
+# position is in bounds, so the bound only matters for corner chains where
+# redraws keep re-exiting (empirically ≲1e-4 of steps need >2 iterations at
+# max_speed=4).  Steps still unresolved after the bound — a ~1e-7 tail —
+# are closed by a reflective triangle fold (see stochastic_positions).
+MAX_BOUNCES_PER_STEP = 8
+
+
+def _resolve_bounce(s, d, new_speed, limit):
+    """One bounce-resolution iteration (vectorized twin of the host solver's
+    while-body, ``moving_mnist.py:_stochastic_trajectory`` /
+    reference ``moving_mnist.py:201-251``): find the first crossed border
+    retroactively, swap in the pre-drawn replacement speed with signs away
+    from the touched border(s), and replay the remaining step fraction.
+    No-op when ``s`` is in bounds.
+
+    ``s``: (2,) float position; ``d``: (2,) float speed;
+    ``new_speed``: (2,) int32 candidate draw.  Returns (s', d', bounced).
+    """
+    m = jnp.float32(limit)
+    sx, sy = s[0], s[1]
+    dx, dy = d[0], d[1]
+    left = sx < -_EPS
+    up = sy < -_EPS
+    right = sx > m + _EPS
+    bottom = sy > m + _EPS
+    oob = left | right | up | bottom
+
+    dx0 = dx == 0
+    dy0 = dy == 0
+    # general case: intersect the motion line with each flagged border and
+    # keep the LAST valid candidate in host order (left, right, up, bottom).
+    a = dy / jnp.where(dx0, 1.0, dx)
+    b = sy - a * sx
+    within = lambda v: (-_EPS <= v) & (v <= m + _EPS)
+    vleft = left & within(b)
+    vright = right & within(a * m + b)
+    a_safe = jnp.where(dy0, 1.0, a)
+    vup = up & within(-b / a_safe)
+    vbottom = bottom & within((m - b) / a_safe)
+    cx = jnp.where(vleft, 0.0, sx)
+    cy = jnp.where(vleft, b, sy)
+    cx = jnp.where(vright, m, cx)
+    cy = jnp.where(vright, a * m + b, cy)
+    cx = jnp.where(vup, -b / a_safe, cx)
+    cy = jnp.where(vup, 0.0, cy)
+    cx = jnp.where(vbottom, (m - b) / a_safe, cx)
+    cy = jnp.where(vbottom, m, cy)
+    # axis-aligned special cases keep the original flags (host behavior)
+    cx = jnp.where(dx0, sx, cx)
+    cy = jnp.where(dx0, jnp.where(up, 0.0, m), cy)
+    cx = jnp.where(dy0 & ~dx0, jnp.where(left, 0.0, m), cx)
+    cy = jnp.where(dy0 & ~dx0, sy, cy)
+    fleft = jnp.where(dx0 | dy0, left, vleft)
+    fright = jnp.where(dx0 | dy0, right, vright)
+    fup = jnp.where(dx0 | dy0, up, vup)
+    fbottom = jnp.where(dx0 | dy0, bottom, vbottom)
+
+    p = jnp.where(dx0, (sy - cy) / jnp.where(dy0, 1.0, dy), (sx - cx) / jnp.where(dx0, 1.0, dx))
+    ndx = new_speed[0].astype(jnp.float32)
+    ndy = new_speed[1].astype(jnp.float32)
+    ndx = jnp.where(fleft, jnp.abs(ndx), ndx)
+    ndx = jnp.where(fright, -jnp.abs(ndx), ndx)
+    ndy = jnp.where(fup, jnp.abs(ndy), ndy)
+    ndy = jnp.where(fbottom, -jnp.abs(ndy), ndy)
+    ns = jnp.stack([cx + ndx * p, cy + ndy * p])
+    nd = jnp.stack([ndx, ndy])
+    return (jnp.where(oob, ns, s), jnp.where(oob, nd, d), oob)
+
+
+def stochastic_positions(s0: jnp.ndarray, d0: jnp.ndarray,
+                         speed_draws: jnp.ndarray, limit: int,
+                         return_counts: bool = False):
+    """Stochastic bouncing positions, fully on device.
+
+    ``s0``/``d0``: (..., 2) int start/speed; ``speed_draws``:
+    (..., seq_len, MAX_BOUNCES_PER_STEP, 2) int32 pre-drawn replacement
+    speeds (unused draws are simply discarded — distributionally identical
+    to the host's draw-on-bounce stream).  Returns (..., seq_len, 2) int32
+    rounded positions, same record-then-advance convention as the host
+    solver (``moving_mnist.py:_stochastic_trajectory``).
+
+    ``return_counts``: additionally return (..., seq_len) int32 bounce
+    counts per step (how many draws each step consumed) — used by the
+    parity test to replay the exact draw stream through the host solver.
+    """
+    batch_shape = s0.shape[:-1]
+    s0f = s0.reshape(-1, 2).astype(jnp.float32)
+    d0f = d0.reshape(-1, 2).astype(jnp.float32)
+    seq_len = speed_draws.shape[-3]
+    draws = speed_draws.reshape(-1, seq_len, MAX_BOUNCES_PER_STEP, 2)
+    draws = jnp.moveaxis(draws, 1, 0)  # (T, N, K, 2)
+
+    def one(s, d, step_draws):
+        def body(i, sd):
+            s, d, n = sd
+            s, d, bounced = _resolve_bounce(s, d, step_draws[i], limit)
+            return (s, d, n + bounced.astype(jnp.int32))
+        return jax.lax.fori_loop(0, MAX_BOUNCES_PER_STEP, body,
+                                 (s, d, jnp.int32(0)))
+
+    v_one = jax.vmap(one)
+
+    def scan_step(carry, step_draws):
+        s, d = carry
+        s, d, n = v_one(s, d, step_draws)
+        # tail fallback: a still-out-of-bounds position after the bounce
+        # bound (rare corner chains) is folded back by plain reflection,
+        # with the speed pointed inward — a valid bounce, just without
+        # another redraw.
+        m = jnp.float32(limit)
+        oob = (s < -_EPS) | (s > m + _EPS)
+        folded = m - jnp.abs(jnp.mod(s, 2.0 * m) - m)
+        s = jnp.where(oob, folded, s)
+        d = jnp.where(oob & (folded < m / 2), jnp.abs(d),
+                      jnp.where(oob, -jnp.abs(d), d))
+        out = jnp.round(s).astype(jnp.int32)
+        return (s + d, d), (out, n)
+
+    (_, _), (pos, counts) = jax.lax.scan(scan_step, (s0f, d0f), draws)
+    pos = jnp.moveaxis(pos, 0, 1).reshape(*batch_shape, seq_len, 2)
+    if return_counts:
+        return pos, jnp.moveaxis(counts, 0, 1).reshape(*batch_shape, seq_len)
+    return pos
+
+
 def render_frames(positions: jnp.ndarray, digits: jnp.ndarray,
                   frame_size: int = 64) -> jnp.ndarray:
     """Composite digits at integer positions via one-hot matmuls.
@@ -73,15 +200,20 @@ def render_frames(positions: jnp.ndarray, digits: jnp.ndarray,
 
 
 class DeviceMovingMNIST:
-    """On-device Moving MNIST batch generator (deterministic dynamics).
+    """On-device Moving MNIST batch generator.
 
-    Exposes the same virtual length / split API shape as the host dataset
-    but generates (cond, target) directly on device."""
+    Deterministic dynamics use the closed-form triangle fold; stochastic
+    dynamics (``deterministic=False``: speeds redrawn at each wall hit,
+    reference ``moving_mnist.py:172-253``) use the scanned bounded-bounce
+    solver — both fully jittable.  Exposes the same virtual length / split
+    API shape as the host dataset but generates (cond, target) directly on
+    device."""
 
     train_length = 200_000
 
     def __init__(self, digit_images: np.ndarray, nt_cond: int, seq_len: int,
-                 num_digits: int = 2, frame_size: int = 64, max_speed: int = 4):
+                 num_digits: int = 2, frame_size: int = 64, max_speed: int = 4,
+                 deterministic: bool = True):
         # host copy; placed on device once by the caller (fused step) or
         # lazily by the standalone generation path.
         self.digits = np.asarray(digit_images)  # (N, h, w) uint8
@@ -91,6 +223,7 @@ class DeviceMovingMNIST:
         self.num_digits = num_digits
         self.frame_size = frame_size
         self.max_speed = max_speed
+        self.deterministic = deterministic
         self.digit_size = int(digit_images.shape[-1])
         # jit over the pure sampler with the corpus as an argument, so it
         # lowers as an executable parameter (not an embedded constant).
@@ -111,16 +244,23 @@ class DeviceMovingMNIST:
         seq_len, d = self.seq_len, self.num_digits
         frame, max_speed = self.frame_size, self.max_speed
         digit_size = self.digit_size
+        deterministic = self.deterministic
 
         def sample(data, rng, batch):
-            kd, kp, kv = jax.random.split(rng, 3)
+            kd, kp, kv, kb = jax.random.split(rng, 4)
             limit = frame - digit_size
             idx = jax.random.randint(kd, (batch, d), 0, data.shape[0])
             digs = data[idx]
             s0 = jax.random.randint(kp, (batch, d, 2), 0, limit + 1, jnp.int32)
             vel = jax.random.randint(kv, (batch, d, 2), -max_speed,
                                      max_speed + 1, jnp.int32)
-            pos = fold_positions(s0, vel, seq_len, limit)
+            if deterministic:
+                pos = fold_positions(s0, vel, seq_len, limit)
+            else:
+                draws = jax.random.randint(
+                    kb, (batch, d, seq_len, MAX_BOUNCES_PER_STEP, 2),
+                    -max_speed, max_speed + 1, jnp.int32)
+                pos = stochastic_positions(s0, vel, draws, limit)
             return render_frames(pos, digs, frame)
 
         return sample

@@ -42,18 +42,26 @@ class DeviceWaveEq:
         return self.n_seq * self.windows
 
     def make_sample_fn(self):
-        """Pure ``f(data, rng, batch)`` (see DeviceMovingMNIST.make_sample_fn)."""
+        """Pure ``f(data, rng, batch)`` (see DeviceMovingMNIST.make_sample_fn).
+
+        The windows are fetched as ONE flat frame gather: (seq, start)
+        pairs become (batch, seq_len) flat frame indices into a
+        (n_seq*nt, H, W, 1) view, so XLA emits a single large-row gather
+        (16 KB contiguous per index) instead of a batched dynamic-slice.
+        The previous vmapped ``dynamic_slice(data[s], ...)`` formulation
+        lowered to a degenerate gather running at ~3% of HBM bandwidth
+        (231 ms vs 6 ms for the whole train step on a v5e)."""
         seq_len, n_seq, windows = self.seq_len, self.n_seq, self.windows
 
         def sample(data, rng, batch):
             ks, kw = jax.random.split(rng)
             seq_idx = jax.random.randint(ks, (batch,), 0, n_seq)
             start = jax.random.randint(kw, (batch,), 0, windows)
-
-            def take(s, i):
-                return jax.lax.dynamic_slice_in_dim(data[s], i, seq_len, axis=0)
-
-            return jax.vmap(take)(seq_idx, start)
+            nt = data.shape[1]
+            flat = data.reshape((n_seq * nt,) + data.shape[2:])
+            idx = (seq_idx * nt + start)[:, None] + jnp.arange(seq_len)[None, :]
+            return jnp.take(flat, idx, axis=0, indices_are_sorted=False,
+                            unique_indices=False)
 
         return sample
 
