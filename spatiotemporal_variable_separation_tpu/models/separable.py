@@ -79,7 +79,12 @@ class SeparableNetwork(nn.Module):
         return t_codes, residuals
 
     def _decode_all(self, s_code, skips, t_codes: jnp.ndarray, train: bool):
-        """Decode every (S, T_t) pair.  t_codes: (n, B, ...) -> (B, n, *frame)."""
+        """Decode every (S, T_t) pair.  t_codes: (n, B, ...) -> (B, n, *frame).
+
+        With ``remat`` the batched decode is checkpointed: the (horizon x
+        batch) decoder activations — the dominant HBM term of the train
+        step — are recomputed during backward instead of stored.
+        """
         n, b = t_codes.shape[0], t_codes.shape[1]
         if self.decode_mode == "batched" or not train:
             t_flat = t_codes.reshape((n * b,) + t_codes.shape[2:])
@@ -87,7 +92,14 @@ class SeparableNetwork(nn.Module):
             skips_flat = None
             if skips is not None:
                 skips_flat = [_tile_leading(s, n) for s in skips]
-            frames = self.decoder(s_flat, t_flat, skip=skips_flat, train=train)
+
+            def dec(mdl, s, t, sk):
+                return mdl.decoder(s, t, skip=sk, train=train)
+
+            if self.remat and train:
+                dec = nn.remat(dec, prevent_cse=False,
+                               static_argnums=())
+            frames = dec(self, s_flat, t_flat, skips_flat)
             frames = frames.reshape((n, b) + frames.shape[1:])
             return jnp.moveaxis(frames, 0, 1)
         # stepwise: reference-parity BatchNorm batch statistics (per step).
