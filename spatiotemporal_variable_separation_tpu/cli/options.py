@@ -116,7 +116,7 @@ def build_parser() -> argparse.ArgumentParser:
     tpu_p = parser.add_argument_group(title="TPU-native")
     tpu_p.add_argument("--seed", type=int, default=0,
                        help="Reproducible run seed (the reference seeds randomly).")
-    tpu_p.add_argument("--decode_mode", type=str, default="batched",
+    tpu_p.add_argument("--decode_mode", type=str, default="stepwise",
                        choices=["batched", "stepwise"],
                        help="Rollout decode strategy (stepwise = reference BN parity).")
     tpu_p.add_argument("--remat", action="store_true",

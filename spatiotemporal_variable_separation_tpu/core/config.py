@@ -88,7 +88,7 @@ class ExperimentConfig:
     device_datagen: bool = True  # on-device synthesis where supported (mnist)
     seed: int = 0
     precision: str = "bf16"
-    decode_mode: str = "batched"
+    decode_mode: str = "stepwise"
     remat: bool = False
     num_devices: Optional[int] = None  # None = all visible devices
     steps_per_epoch: Optional[int] = None  # None = dataset-length derived

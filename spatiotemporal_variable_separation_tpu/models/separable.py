@@ -6,12 +6,14 @@ TPU-native re-design of the reference core model
 * the reference's Python rollout loop (``model.py:78-83``) is a single
   ``lax.scan`` over the residual integrator, so an arbitrarily long horizon
   compiles to one fused on-chip loop;
-* frames are *not* decoded step-by-step: all T codes produced by the scan
-  are folded into the batch axis and decoded in one large batched pass
-  (``decode_mode="batched"``), which keeps the MXU busy with
-  (horizon x batch)-sized convolutions.  ``decode_mode="stepwise"``
-  reproduces the reference's per-step decoding (only observable through
-  train-mode BatchNorm batch statistics);
+* train-time decoding defaults to ``decode_mode="stepwise"`` — per-step
+  decoder passes exactly like the reference (same BatchNorm batch-stats
+  semantics), which also measures ~11% FASTER on a v5e than folding the
+  horizon into one (horizon x batch) decode (15.0 vs 16.9 ms on the
+  flagship step): the per-frame batch already saturates the MXU and the
+  giant fold pays extra reshape/transpose traffic.  ``"batched"`` keeps
+  the folded variant selectable; eval always decodes batched (identical
+  results, BN frozen);
 * S (and its skip feature maps) is computed once and broadcast across the
   rollout, exactly as in the reference (``model.py:57-64``).
 
@@ -42,7 +44,7 @@ class SeparableNetwork(nn.Module):
     decoder: nn.Module
     nt_cond: int
     skipco: bool = False
-    decode_mode: str = "batched"
+    decode_mode: str = "stepwise"
     remat: bool = False
 
     # -- encoding ------------------------------------------------------

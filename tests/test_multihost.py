@@ -68,19 +68,15 @@ state = jax.device_put(create_train_state(model, cfg, tx),
 step = make_train_step(model, cfg, tx, mesh)
 
 # Each process contributes its local half of the global batch.
+from spatiotemporal_variable_separation_tpu.parallel.distributed import (
+    local_batch_to_global,
+)
+
 rng = np.random.default_rng(0)
 seq = rng.random((cfg.batch_size, 6, 64, 64, 1)).astype(np.float32)
-shard = batch_sharding(mesh)
-
-
-def put_global(host_array):
-    return jax.make_array_from_process_local_data(shard, host_array[
-        pid * (cfg.batch_size // 2):(pid + 1) * (cfg.batch_size // 2)],
-        global_shape=host_array.shape)
-
-
-cond = put_global(seq[:, :3])
-target = put_global(seq[:, 3:])
+half = slice(pid * (cfg.batch_size // 2), (pid + 1) * (cfg.batch_size // 2))
+cond, target = local_batch_to_global(mesh, (seq[half, :3], seq[half, 3:]))
+assert cond.shape[0] == cfg.batch_size
 state, metrics = step(state, cond, target)
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
