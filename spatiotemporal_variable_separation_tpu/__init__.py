@@ -26,3 +26,10 @@ __version__ = "0.1.0"
 from spatiotemporal_variable_separation_tpu.core.config import (  # noqa: F401
     ExperimentConfig,
 )
+
+
+def __getattr__(name):  # lazy: serving pulls in checkpoint/orbax
+    if name == "Forecaster":
+        from spatiotemporal_variable_separation_tpu.serve import Forecaster
+        return Forecaster
+    raise AttributeError(name)

@@ -1,0 +1,36 @@
+"""Serving latency benchmark CLI: AOT-compile a trained checkpoint's
+forecast at a fixed (batch, horizon) signature and report steady-state
+latency percentiles + frame throughput.
+
+New capability over the reference (which has no inference entry point —
+its eval scripts rebuild the torch model per run); see ``serve.py``."""
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="varsep-tpu serving benchmark")
+    p.add_argument("--xp_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--epoch", type=int, metavar="EPOCH", default=None)
+    p.add_argument("--batch_size", type=int, metavar="BATCH", default=64)
+    p.add_argument("--n_forecast", type=int, metavar="N", default=100)
+    p.add_argument("--iters", type=int, metavar="N", default=50)
+    p.add_argument("--devices", type=int, metavar="N", default=None,
+                   help="Shard request batches data-parallel over N devices.")
+    args = p.parse_args(argv)
+
+    mesh = None
+    if args.devices:
+        from spatiotemporal_variable_separation_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.devices)
+
+    from spatiotemporal_variable_separation_tpu.serve import Forecaster
+
+    fc = Forecaster.from_xp_dir(args.xp_dir, args.batch_size, args.n_forecast,
+                                epoch=args.epoch, mesh=mesh)
+    print(json.dumps(fc.benchmark(n_iters=args.iters)))
+
+
+if __name__ == "__main__":
+    main()
