@@ -1,0 +1,135 @@
+"""Realistic-scale synthetic corpora in the reference's exact on-disk
+formats, for end-to-end convergence validation of the file-backed data
+stacks (TaxiBJ h5, SST netCDF-as-h5, Chairs png renders).
+
+The real corpora (BJ{13-16}_M32x32_T30_InOut.h5, data_{zone}.nc, 3D
+Warehouse renders) are not redistributable and cannot be downloaded in
+this environment; these generators produce structurally faithful stand-ins
+— same files, dtypes, layouts, timestamp conventions and value ranges — so
+the full training recipes (reference README.md:79-86) run end to end and
+converge.  They are NOT the benchmark corpora: metrics on them validate
+the pipeline, not the paper numbers.
+
+Formats mirrored:
+* TaxiBJ: per-year h5 with ``data`` (T, 2, 32, 32) float and ``date``
+  ``b"YYYYMMDDSS"`` timestamps, 48 slots/day (reference
+  ``var_sep/data/taxibj.py:103-108,184-207``).
+* SST: per-zone ``data_{z}.nc`` with ``thetao`` (T, 64, 64),
+  ``daily_mean``/``daily_std`` (T,) (reference ``var_sep/data/sst.py:24-29``).
+* Chairs: ``rendered_chairs/<obj>/renders/{i}.png`` 64x64 RGB, 62 views,
+  plus the ``all_chair_names.mat`` entry the loader removes (reference
+  ``var_sep/data/chairs.py:33-35``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import numpy as np
+
+
+def make_taxibj(data_dir: str, days_per_year: int = 120, seed: int = 0) -> None:
+    """Traffic in/out flows: double daily peak x weekly cycle x per-cell
+    magnitude + noise, positive, year-dependent scale like the real data."""
+    import h5py
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(data_dir, exist_ok=True)
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    center = np.exp(-(((yy - 16) ** 2 + (xx - 16) ** 2) / 120.0))
+    cell_gain = 0.3 + center + 0.2 * rng.rand(2, 32, 32)
+    for year in range(13, 17):
+        T = days_per_year * 48
+        t = np.arange(T)
+        slot = t % 48
+        day = t // 48
+        daily = (np.exp(-((slot - 17) ** 2) / 18.0)
+                 + 0.8 * np.exp(-((slot - 37) ** 2) / 26.0) + 0.15)
+        weekly = 1.0 - 0.35 * ((day % 7) >= 5)
+        base = (daily * weekly)[:, None, None, None] * cell_gain[None]
+        scale = 100.0 + 60.0 * (year - 13)
+        data = scale * base * (1.0 + 0.08 * rng.randn(T, 2, 32, 32))
+        data = np.clip(data, 0.0, None).astype(np.float64)
+        start = datetime.date(2000 + year, 3, 1)
+        dates = [f"{start + datetime.timedelta(days=int(d)):%Y%m%d}{s + 1:02d}".encode()
+                 for d, s in zip(day, slot)]
+        with h5py.File(os.path.join(data_dir, f"BJ{year}_M32x32_T30_InOut.h5"),
+                       "w") as f:
+            f.create_dataset("data", data=data)
+            f.create_dataset("date", data=np.array(dates))
+
+
+def make_sst(data_dir: str, zones=range(1, 30), n_days: int = 1600,
+             seed: int = 0) -> None:
+    """Per-zone temperature fields: seasonal climatology + advecting warm
+    anomalies + noise, in degrees-Kelvin-like range (~285-305)."""
+    import h5py
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(data_dir, exist_ok=True)
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    t = np.arange(n_days)
+    for zone in zones:
+        lat_gradient = 0.05 * (yy - 32)
+        season = 8.0 * np.sin(2 * np.pi * (t / 365.25) + rng.rand() * 6.28)
+        # two anomalies advecting at zone-specific velocities
+        fields = np.empty((n_days, 64, 64), np.float32)
+        v = rng.uniform(0.1, 0.5, (2, 2)) * rng.choice([-1, 1], (2, 2))
+        amp = rng.uniform(1.5, 3.5, 2)
+        width = rng.uniform(60, 140, 2)
+        phase = rng.uniform(0, 64, (2, 2))
+        for k in range(n_days):
+            f = 295.0 + lat_gradient + season[k]
+            for a in range(2):
+                cx = (phase[a, 0] + v[a, 0] * k) % 64
+                cy = (phase[a, 1] + v[a, 1] * k) % 64
+                # wrap-around distance keeps the anomaly coherent
+                dx = np.minimum(np.abs(xx - cx), 64 - np.abs(xx - cx))
+                dy = np.minimum(np.abs(yy - cy), 64 - np.abs(yy - cy))
+                f = f + amp[a] * np.exp(-(dx ** 2 + dy ** 2) / width[a])
+            fields[k] = f
+        fields += 0.3 * rng.randn(n_days, 64, 64).astype(np.float32)
+        with h5py.File(os.path.join(data_dir, f"data_{zone}.nc"), "w") as f:
+            f.create_dataset("thetao", data=fields.astype(np.float64))
+            f.create_dataset("daily_mean",
+                             data=fields.mean(axis=(1, 2)).astype(np.float64))
+            f.create_dataset("daily_std",
+                             data=fields.std(axis=(1, 2)).astype(np.float64))
+
+
+def make_chairs(data_dir: str, n_objects: int = 200, seed: int = 0) -> None:
+    """62 azimuth renders per object: a shaded rotating box with
+    object-specific geometry/colors on white ground, 64x64 RGB."""
+    from PIL import Image, ImageDraw
+
+    rng = np.random.RandomState(seed)
+    base = os.path.join(data_dir, "rendered_chairs")
+    os.makedirs(base, exist_ok=True)
+    open(os.path.join(base, "all_chair_names.mat"), "wb").close()
+    for obj in range(n_objects):
+        odir = os.path.join(base, f"obj_{obj:04d}", "renders")
+        os.makedirs(odir, exist_ok=True)
+        w = rng.uniform(10, 22)        # half-width
+        h = rng.uniform(14, 26)        # height
+        color = tuple(int(c) for c in rng.randint(40, 220, 3))
+        leg = rng.uniform(4, 10)
+        for i in range(62):
+            az = 2 * np.pi * i / 62
+            img = Image.new("RGB", (64, 64), (255, 255, 255))
+            drw = ImageDraw.Draw(img)
+            # box silhouette: apparent width follows |cos|, shading follows
+            # the lit face fraction — a cheap but view-consistent render
+            aw = max(3.0, w * (0.35 + 0.65 * abs(np.cos(az))))
+            shade = 0.55 + 0.45 * (np.sin(az) * 0.5 + 0.5)
+            fill = tuple(int(c * shade) for c in color)
+            cx, top = 32, 32 - h / 2
+            drw.rectangle([cx - aw, top, cx + aw, top + h], fill=fill)
+            # seat-back hint on one side, rotating with azimuth
+            bx = cx + aw * np.sin(az) * 0.6
+            drw.rectangle([bx - 2, top - leg, bx + 2, top], fill=fill)
+            drw.rectangle([cx - aw, top + h, cx - aw + 3, top + h + leg],
+                          fill=(60, 60, 60))
+            drw.rectangle([cx + aw - 3, top + h, cx + aw, top + h + leg],
+                          fill=(60, 60, 60))
+            img.save(os.path.join(odir, f"{i}.png"))
