@@ -17,8 +17,9 @@ This library is channels-last (NHWC), the native TPU layout:
 * a sequence is ``(T, H, W, C)``,
 * a batch of sequences is ``(B, T, H, W, C)``.
 
-Boundary converters for the reference's npz/array formats live in
-:mod:`spatiotemporal_variable_separation_tpu.utils.convert`.
+Boundary conversion to the reference's archived NCHW/npz layouts happens
+at the eval edge (:func:`eval.common.to_uint8_nchw_last`); loaders emit
+channels-last directly.
 """
 
 __version__ = "0.1.0"

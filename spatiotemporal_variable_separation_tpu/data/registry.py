@@ -51,8 +51,27 @@ def make_device_generator(cfg: ExperimentConfig, mesh=None,
 
     With a mesh, generated batches come out already sharded over the data
     axis (no host round-trip, no resharding)."""
-    if not cfg.device_datagen or cfg.data not in ("mnist", "wave", "wave_partial"):
+    supported = ("mnist", "wave", "wave_partial", "taxibj", "sst", "chairs")
+    if not cfg.device_datagen or cfg.data not in supported:
         return None
+    if cfg.data in ("taxibj", "sst", "chairs"):
+        # file-backed corpora small enough to live in HBM: load + normalize
+        # on the host once, then gather batches inside the fused step.
+        from spatiotemporal_variable_separation_tpu.data.device_corpora import (
+            DeviceChairs,
+            DeviceItems,
+            DeviceZoneWindows,
+        )
+
+        try:
+            host = make_train_dataset(cfg)
+        except (FileNotFoundError, OSError):
+            return None
+        if cfg.data == "taxibj":
+            return DeviceItems(host.data, cfg.nt_cond)
+        if cfg.data == "sst":
+            return DeviceZoneWindows(host)
+        return DeviceChairs(host)
     if cfg.data == "mnist":
         from spatiotemporal_variable_separation_tpu.data.mnist_device import (
             DeviceMovingMNIST,
