@@ -98,6 +98,22 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
 
     mlog = MetricsLogger(cfg.xp_dir) if os.path.isdir(cfg.xp_dir) else None
     t_start = time.time()
+
+    # Preemption safety: TPU pools send SIGTERM before reclaiming a VM.
+    # The stop is COOPERATIVE (a flag checked between steps), not an
+    # exception: an exception could land inside the donated train step,
+    # after the old state's buffers were consumed but before the new
+    # state's handle was returned — leaving no live state to checkpoint.
+    # Only installable from the main thread; restored on exit.
+    import signal
+    import threading
+
+    stop_requested = threading.Event()
+    prev_handler = None
+    if threading.current_thread() is threading.main_thread():
+        def _on_sigterm(signum, frame):
+            stop_requested.set()
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
     try:
         def updates(epoch):
             if device_gen is not None:
@@ -124,6 +140,8 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.time()
             for do_update in updates(epoch):
+                if stop_requested.is_set():
+                    raise KeyboardInterrupt  # between steps: state is live
                 state, metrics = do_update(state)
                 host_step += 1
                 if profile and profile_ctx is None and host_step >= profile_after:
@@ -163,11 +181,20 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                 # so the eval CLIs' --epoch flag addresses them directly.
                 save_checkpoint(cfg.xp_dir, state, name=str(epoch + 1))
     except KeyboardInterrupt:
-        log_fn("interrupted — saving final checkpoint")
+        log_fn("interrupted (Ctrl-C/SIGTERM) — saving final checkpoint")
     finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         # written on EVERY exit path (incl. crashes), so 'final' is always
         # the newest state and restore_checkpoint's preference for it holds.
-        save_checkpoint(cfg.xp_dir, state, name="final")
+        # Guarded: a Ctrl-C landing INSIDE the donated step can leave the
+        # state's buffers consumed — keep the last periodic checkpoint
+        # rather than dying in the handler.
+        try:
+            save_checkpoint(cfg.xp_dir, state, name="final")
+        except RuntimeError as e:  # pragma: no cover — mid-step interrupt
+            log_fn(f"final checkpoint skipped (state buffers donated "
+                   f"mid-step): {e}")
         if mlog is not None:
             mlog.close()
     log_fn(f"total time {time.time() - t_start:.1f}s")
