@@ -1,0 +1,113 @@
+"""Supervised training: stall detection + automatic resume.
+
+Long TPU runs can hang on infrastructure faults (e.g. a device fetch that
+never returns when the interconnect/tunnel hiccups — observed in practice:
+a healthy 22 s/epoch run froze mid-epoch with the process asleep on the
+device socket). The reference has no failure-handling story at all; this
+wrapper supplies one for any training invocation:
+
+    python -m spatiotemporal_variable_separation_tpu.cli.supervise \
+        --stall_timeout 600 -- --xp_dir ... --data_dir ... --data mnist ...
+
+It launches ``cli.main`` with the given args as a child process, tees its
+output, and if the child produces no output for ``--stall_timeout``
+seconds, kills it (SIGTERM, then SIGKILL after a grace period) and
+relaunches with ``--resume`` so training continues from the newest
+checkpoint. Combine with ``--chkpt_interval`` to bound lost work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import selectors
+import signal
+import subprocess
+import sys
+import time
+
+
+def _launch(train_args, resume: bool,
+            entry: str = "spatiotemporal_variable_separation_tpu.cli.main"
+            ) -> subprocess.Popen:
+    cmd = [sys.executable, "-u", "-m", entry] + train_args
+    if resume and "--resume" not in train_args:
+        cmd.append("--resume")
+    env = dict(os.environ)
+    env["PYTHONUNBUFFERED"] = "1"
+    return subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env)
+
+
+def supervise(train_args, stall_timeout: float = 600.0,
+              max_restarts: int = 20, grace: float = 15.0,
+              log_fn=print,
+              entry: str = "spatiotemporal_variable_separation_tpu.cli.main"
+              ) -> int:
+    """Run training under stall supervision; returns the final exit code."""
+    restarts = 0
+    resume = "--resume" in train_args
+    while True:
+        child = _launch(train_args, resume, entry)
+        log_fn(f"[supervise] started pid {child.pid}"
+               + (" (resume)" if resume else ""))
+        sel = selectors.DefaultSelector()
+        sel.register(child.stdout, selectors.EVENT_READ)
+        last_output = time.monotonic()
+        stalled = False
+        while child.poll() is None:
+            if sel.select(timeout=5.0):
+                line = child.stdout.readline()
+                if line:
+                    last_output = time.monotonic()
+                    log_fn(line.rstrip("\n"))
+                    continue
+            if time.monotonic() - last_output > stall_timeout:
+                stalled = True
+                log_fn(f"[supervise] no output for {stall_timeout:.0f}s — "
+                       f"killing pid {child.pid} and resuming")
+                child.send_signal(signal.SIGTERM)  # cooperative save attempt
+                try:
+                    child.wait(timeout=grace)
+                except subprocess.TimeoutExpired:
+                    child.kill()
+                    child.wait()
+                break
+        sel.unregister(child.stdout)
+        for line in child.stdout:
+            log_fn(line.rstrip("\n"))
+        if not stalled:
+            rc = child.returncode
+            log_fn(f"[supervise] training exited rc={rc}")
+            return rc
+        restarts += 1
+        if restarts > max_restarts:
+            log_fn(f"[supervise] giving up after {max_restarts} restarts")
+            return 1
+        resume = True
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="varsep-tpu supervised training",
+        usage="... [--stall_timeout S] [--max_restarts N] -- <cli.main args>")
+    p.add_argument("--stall_timeout", type=float, metavar="SEC", default=600.0)
+    p.add_argument("--max_restarts", type=int, metavar="N", default=20)
+    p.add_argument("--grace", type=float, metavar="SEC", default=15.0)
+    p.add_argument("--entry", type=str, metavar="MODULE",
+                   default="spatiotemporal_variable_separation_tpu.cli.main",
+                   help="python -m entry module to supervise")
+    p.add_argument("train_args", nargs=argparse.REMAINDER,
+                   help="arguments for cli.main, after a literal --")
+    args = p.parse_args(argv)
+    train_args = args.train_args
+    if train_args and train_args[0] == "--":
+        train_args = train_args[1:]
+    if not train_args:
+        p.error("no training arguments given (pass them after --)")
+    sys.exit(supervise(train_args, args.stall_timeout, args.max_restarts,
+                       args.grace, entry=args.entry))
+
+
+if __name__ == "__main__":
+    main()

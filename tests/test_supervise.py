@@ -1,0 +1,83 @@
+"""Supervised training wrapper: clean pass-through, and stall -> kill ->
+auto-resume -> completion (the hang is simulated by a training subprocess
+that stops producing output mid-run on its first incarnation)."""
+
+import os
+
+import pytest
+
+from spatiotemporal_variable_separation_tpu.cli import supervise as sup
+
+
+def _wave_args(tmp_path, epochs=1):
+    from spatiotemporal_variable_separation_tpu.data.wave_eq import generate_dataset
+
+    data_dir = tmp_path / "data"
+    xp_dir = tmp_path / "xp"
+    if not data_dir.is_dir():
+        data_dir.mkdir()
+        xp_dir.mkdir()
+        generate_dataset(str(data_dir), size=5, seq_len=30, batch=5)
+    return ["--xp_dir", str(xp_dir), "--data_dir", str(data_dir),
+            "--data", "wave", "--architecture", "mlp", "--mixing", "mul",
+            "--code_size_s", "8", "--code_size_t", "8",
+            "--enc_hidden_size", "16", "--dec_hidden_size", "16",
+            "--res_hidden_size", "16", "--nt_cond", "3", "--nt_pred", "3",
+            "--offset", "3", "--precision", "f32", "--batch_size", "8",
+            "--epochs", str(epochs), "--steps_per_epoch", "3",
+            "--log_every", "1"]
+
+
+@pytest.mark.slow
+def test_supervise_clean_run(tmp_path, monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    logs = []
+    rc = sup.supervise(_wave_args(tmp_path), stall_timeout=600,
+                       log_fn=logs.append)
+    assert rc == 0
+    assert any("training exited rc=0" in l for l in logs)
+    assert os.path.isdir(tmp_path / "xp" / "checkpoints" / "final")
+
+
+def test_supervise_restarts_on_stall(tmp_path, monkeypatch):
+    # Stub entry: first incarnation prints progress then hangs (simulated
+    # infrastructure fault); the relaunch — which must carry --resume —
+    # completes and writes the final checkpoint marker.
+    (tmp_path / "hang_entry.py").write_text(
+        "import os, sys, time\n"
+        "mark = os.path.join(os.path.dirname(__file__), 'hang.marker')\n"
+        "print('training: stub started', flush=True)\n"
+        "print('epoch 0 done', flush=True)\n"
+        "if not os.path.exists(mark):\n"
+        "    open(mark, 'w').close()\n"
+        "    time.sleep(3600)  # hang: no output, ignores nothing\n"
+        "assert '--resume' in sys.argv, sys.argv\n"
+        "xp = sys.argv[sys.argv.index('--xp_dir') + 1]\n"
+        "os.makedirs(os.path.join(xp, 'checkpoints', 'final'), exist_ok=True)\n"
+        "print('epoch 2 done', flush=True)\n")
+    monkeypatch.setenv("PYTHONPATH",
+                       f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
+    xp_dir = tmp_path / "xp"
+    logs = []
+    rc = sup.supervise(["--xp_dir", str(xp_dir)], stall_timeout=8,
+                       grace=5, max_restarts=3, log_fn=logs.append,
+                       entry="hang_entry")
+    text = "\n".join(logs)
+    assert rc == 0, text
+    assert "killing pid" in text, text
+    assert "(resume)" in text, text
+    assert "training exited rc=0" in text
+    assert os.path.isdir(xp_dir / "checkpoints" / "final")
+
+
+def test_supervise_gives_up_after_max_restarts(tmp_path, monkeypatch):
+    (tmp_path / "always_hang.py").write_text(
+        "import time\nprint('started', flush=True)\ntime.sleep(3600)\n")
+    monkeypatch.setenv("PYTHONPATH",
+                       f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
+    logs = []
+    rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=4,
+                       grace=3, max_restarts=1, log_fn=logs.append,
+                       entry="always_hang")
+    assert rc == 1
+    assert any("giving up" in l for l in logs)
