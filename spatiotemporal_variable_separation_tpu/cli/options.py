@@ -143,3 +143,19 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         precision = "bf16"  # AMP flags and the TPU default agree
     d["precision"] = precision
     return ExperimentConfig.from_dict(d)
+
+
+def add_devices_arg(parser) -> None:
+    """Shared --devices flag for eval/serving CLIs (data-parallel sharding)."""
+    parser.add_argument("--devices", type=int, metavar="N", default=None,
+                        help="Shard the eval rollout data-parallel over N "
+                             "devices (default: single device).")
+
+
+def mesh_from_args(args):
+    """Build the 1-D data mesh requested by --devices (None = no mesh)."""
+    if getattr(args, "devices", None):
+        from spatiotemporal_variable_separation_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(args.devices)
+    return None

@@ -16,14 +16,14 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, metavar="BATCH", default=64)
     p.add_argument("--n_forecast", type=int, metavar="N", default=100)
     p.add_argument("--iters", type=int, metavar="N", default=50)
-    p.add_argument("--devices", type=int, metavar="N", default=None,
-                   help="Shard request batches data-parallel over N devices.")
-    args = p.parse_args(argv)
+    from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_devices_arg,
+        mesh_from_args,
+    )
 
-    mesh = None
-    if args.devices:
-        from spatiotemporal_variable_separation_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(args.devices)
+    add_devices_arg(p)
+    args = p.parse_args(argv)
+    mesh = mesh_from_args(args)
 
     from spatiotemporal_variable_separation_tpu.serve import Forecaster
 

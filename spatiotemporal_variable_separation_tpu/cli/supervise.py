@@ -42,27 +42,53 @@ def _launch(train_args, resume: bool,
 def supervise(train_args, stall_timeout: float = 600.0,
               max_restarts: int = 20, grace: float = 15.0,
               log_fn=print,
-              entry: str = "spatiotemporal_variable_separation_tpu.cli.main"
-              ) -> int:
-    """Run training under stall supervision; returns the final exit code."""
-    restarts = 0
+              entry: str = "spatiotemporal_variable_separation_tpu.cli.main",
+              startup_grace: float = 420.0, max_failures: int = 0) -> int:
+    """Run training under stall supervision; returns the final exit code.
+
+    ``startup_grace``: the stall clock never triggers earlier than this
+    many seconds after launch — a fresh child spends minutes in silent
+    remote compile, and killing a process MID-COMPILE is what wedges the
+    TPU tunnel (CLAUDE.md); the first kill must wait that phase out.
+    ``max_failures``: additionally relaunch (with --resume) up to N times
+    when the child EXITS nonzero — transient backend errors
+    (FAILED_PRECONDITION right after a device was force-freed) crash the
+    process rather than hang it.
+    """
+    restarts = failures = 0
     resume = "--resume" in train_args
     while True:
         child = _launch(train_args, resume, entry)
+        started = time.monotonic()
         log_fn(f"[supervise] started pid {child.pid}"
                + (" (resume)" if resume else ""))
+        # raw chunked reads: a partial line (no trailing newline) followed
+        # by a hang must not block the watchdog in readline().
+        fd = child.stdout.fileno()
+        os.set_blocking(fd, False)
         sel = selectors.DefaultSelector()
         sel.register(child.stdout, selectors.EVENT_READ)
         last_output = time.monotonic()
+        pending = ""
         stalled = False
+
+        def emit(text):
+            nonlocal pending
+            pending += text
+            *lines, pending = pending.split("\n")
+            for line in lines:
+                log_fn(line)
+
         while child.poll() is None:
             if sel.select(timeout=5.0):
-                line = child.stdout.readline()
-                if line:
+                chunk = os.read(fd, 65536)
+                if chunk:
                     last_output = time.monotonic()
-                    log_fn(line.rstrip("\n"))
+                    emit(chunk.decode(errors="replace"))
                     continue
-            if time.monotonic() - last_output > stall_timeout:
+            now = time.monotonic()
+            if (now - last_output > stall_timeout
+                    and now - started > startup_grace):
                 stalled = True
                 log_fn(f"[supervise] no output for {stall_timeout:.0f}s — "
                        f"killing pid {child.pid} and resuming")
@@ -74,12 +100,23 @@ def supervise(train_args, stall_timeout: float = 600.0,
                     child.wait()
                 break
         sel.unregister(child.stdout)
-        for line in child.stdout:
-            log_fn(line.rstrip("\n"))
+        os.set_blocking(fd, True)
+        tail = child.stdout.read()
+        if tail:
+            emit(tail)
+        if pending:
+            log_fn(pending)
+            pending = ""
         if not stalled:
             rc = child.returncode
             log_fn(f"[supervise] training exited rc={rc}")
-            return rc
+            if rc == 0 or failures >= max_failures:
+                return rc
+            failures += 1
+            log_fn(f"[supervise] relaunching after failure "
+                   f"{failures}/{max_failures}")
+            resume = True
+            continue
         restarts += 1
         if restarts > max_restarts:
             log_fn(f"[supervise] giving up after {max_restarts} restarts")
@@ -97,6 +134,13 @@ def main(argv=None):
     p.add_argument("--entry", type=str, metavar="MODULE",
                    default="spatiotemporal_variable_separation_tpu.cli.main",
                    help="python -m entry module to supervise")
+    p.add_argument("--startup_grace", type=float, metavar="SEC", default=420.0,
+                   help="never kill within this long of launch (remote "
+                        "compile is silent; killing mid-compile wedges the "
+                        "tunnel)")
+    p.add_argument("--max_failures", type=int, metavar="N", default=0,
+                   help="also relaunch with --resume up to N times on "
+                        "nonzero exit (transient backend errors)")
     p.add_argument("train_args", nargs=argparse.REMAINDER,
                    help="arguments for cli.main, after a literal --")
     args = p.parse_args(argv)
@@ -106,7 +150,9 @@ def main(argv=None):
     if not train_args:
         p.error("no training arguments given (pass them after --)")
     sys.exit(supervise(train_args, args.stall_timeout, args.max_restarts,
-                       args.grace, entry=args.entry))
+                       args.grace, entry=args.entry,
+                       startup_grace=args.startup_grace,
+                       max_failures=args.max_failures))
 
 
 if __name__ == "__main__":

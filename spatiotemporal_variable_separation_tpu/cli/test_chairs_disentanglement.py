@@ -12,15 +12,14 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, metavar="BATCH", default=16)
     p.add_argument("--nt_pred", type=int, metavar="PRED", required=True)
     p.add_argument("--test_seed", type=int, metavar="SEED", default=1)
-    p.add_argument("--devices", type=int, metavar="N", default=None,
-                   help="Shard the eval rollout data-parallel over N devices "
-                        "(default: single device).")
-    args = p.parse_args(argv)
+    from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_devices_arg,
+        mesh_from_args,
+    )
 
-    mesh = None
-    if args.devices:
-        from spatiotemporal_variable_separation_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(args.devices)
+    add_devices_arg(p)
+    args = p.parse_args(argv)
+    mesh = mesh_from_args(args)
 
     from spatiotemporal_variable_separation_tpu.eval.chairs_swap import evaluate
 

@@ -13,15 +13,14 @@ def main(argv=None):
     p.add_argument("--reference_broadcast", action="store_true",
                    help="Reproduce the reference eval's stat-broadcast quirk "
                         "exactly (for comparing against paper numbers).")
-    p.add_argument("--devices", type=int, metavar="N", default=None,
-                   help="Shard the eval rollout data-parallel over N devices "
-                        "(default: single device).")
-    args = p.parse_args(argv)
+    from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_devices_arg,
+        mesh_from_args,
+    )
 
-    mesh = None
-    if args.devices:
-        from spatiotemporal_variable_separation_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(args.devices)
+    add_devices_arg(p)
+    args = p.parse_args(argv)
+    mesh = mesh_from_args(args)
 
     from spatiotemporal_variable_separation_tpu.eval.sst import evaluate
 

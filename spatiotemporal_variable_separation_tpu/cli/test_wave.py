@@ -9,15 +9,14 @@ def main(argv=None):
     p.add_argument("--xp_dir", type=str, metavar="DIR", required=True)
     p.add_argument("--epoch", type=int, metavar="EPOCH", default=None)
     p.add_argument("--batch_size", type=int, metavar="BATCH", default=256)
-    p.add_argument("--devices", type=int, metavar="N", default=None,
-                   help="Shard the eval rollout data-parallel over N devices "
-                        "(default: single device).")
-    args = p.parse_args(argv)
+    from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_devices_arg,
+        mesh_from_args,
+    )
 
-    mesh = None
-    if args.devices:
-        from spatiotemporal_variable_separation_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(args.devices)
+    add_devices_arg(p)
+    args = p.parse_args(argv)
+    mesh = mesh_from_args(args)
 
     from spatiotemporal_variable_separation_tpu.eval.wave import evaluate
 

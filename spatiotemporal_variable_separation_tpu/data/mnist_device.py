@@ -247,7 +247,10 @@ class DeviceMovingMNIST:
         deterministic = self.deterministic
 
         def sample(data, rng, batch):
-            kd, kp, kv, kb = jax.random.split(rng, 4)
+            # split of 3 kept identical to the deterministic-only version so
+            # seeded deterministic runs reproduce the round-1 data stream;
+            # the stochastic branch derives its extra key by fold_in.
+            kd, kp, kv = jax.random.split(rng, 3)
             limit = frame - digit_size
             idx = jax.random.randint(kd, (batch, d), 0, data.shape[0])
             digs = data[idx]
@@ -257,6 +260,7 @@ class DeviceMovingMNIST:
             if deterministic:
                 pos = fold_positions(s0, vel, seq_len, limit)
             else:
+                kb = jax.random.fold_in(rng, 0x5B)
                 draws = jax.random.randint(
                     kb, (batch, d, seq_len, MAX_BOUNCES_PER_STEP, 2),
                     -max_speed, max_speed + 1, jnp.int32)

@@ -8,7 +8,6 @@ computation."""
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np

@@ -103,7 +103,9 @@ class Forecaster:
         cond = jnp.asarray(rng.random(
             (self.batch_size, self.cfg.nt_cond) + self.frame_shape,
             dtype=np.float32))
-        for _ in range(warmup):
+        # at least one un-timed call: the fence below needs a result, and
+        # the timed loop must not include a cold dispatch.
+        for _ in range(max(warmup, 1)):
             out = self._compiled(self.variables, cond)
         _ = float(jnp.mean(out))  # hard fence (CLAUDE.md: block_until_ready
         # is unreliable on the tunneled platform)

@@ -50,11 +50,21 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
     import dataclasses
 
     params_path = os.path.join(cfg.xp_dir, "params.json")
-    if resume and cfg.steps_per_epoch is None and os.path.isfile(params_path):
+    if resume and os.path.isfile(params_path):
         saved = ExperimentConfig.from_json_file(params_path)
-        if saved.steps_per_epoch is not None:
+        if cfg.steps_per_epoch is None and saved.steps_per_epoch is not None:
             cfg = dataclasses.replace(cfg, steps_per_epoch=saved.steps_per_epoch)
             log_fn(f"resume: adopting frozen steps_per_epoch={cfg.steps_per_epoch}")
+        # Surface any other drift loudly and make params.json record the
+        # config the resumed run ACTUALLY uses (a changed default — or a
+        # changed flag like --epochs — must not leave a stale record).
+        diffs = {f.name: (getattr(saved, f.name), getattr(cfg, f.name))
+                 for f in dataclasses.fields(cfg)
+                 if getattr(saved, f.name) != getattr(cfg, f.name)}
+        if diffs:
+            for k, (old, new) in sorted(diffs.items()):
+                log_fn(f"resume: config field {k!r} changed: {old!r} -> {new!r}")
+            cfg.save(params_path)
     # an explicitly passed dataset always wins over device synthesis.
     device_gen = make_device_generator(cfg, mesh) if dataset is None else None
     if dataset is None and device_gen is None:
@@ -110,10 +120,14 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
 
     stop_requested = threading.Event()
     prev_handler = None
+    handler_installed = False
     if threading.current_thread() is threading.main_thread():
         def _on_sigterm(signum, frame):
             stop_requested.set()
+        # signal.signal returns None for handlers installed outside Python,
+        # so restoration is gated on our own flag, not on the return value.
         prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        handler_installed = True
     try:
         def updates(epoch):
             if device_gen is not None:
@@ -183,8 +197,10 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
     except KeyboardInterrupt:
         log_fn("interrupted (Ctrl-C/SIGTERM) — saving final checkpoint")
     finally:
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
+        if handler_installed:
+            signal.signal(signal.SIGTERM,
+                          prev_handler if prev_handler is not None
+                          else signal.SIG_DFL)
         # written on EVERY exit path (incl. crashes), so 'final' is always
         # the newest state and restore_checkpoint's preference for it holds.
         # Guarded: a Ctrl-C landing INSIDE the donated step can leave the

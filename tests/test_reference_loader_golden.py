@@ -109,11 +109,15 @@ def wave_dir(tmp_path_factory):
     """Same simulations, saved as .pt (the interchange format both loaders
     read).  The reference's extract_id regexes the FULL path for the first
     integer (wave_eq.py:26-27), so the fixture must live at a digit-free
-    absolute path, not under pytest's numbered tmp dirs."""
+    absolute path — not under pytest's numbered tmp dirs, and unique per
+    run so concurrent test sessions cannot clobber each other."""
     import pathlib
+    import random
     import shutil
+    import string
 
-    root = pathlib.Path("/tmp/goldenwavefixture")
+    suffix = "".join(random.choice(string.ascii_lowercase) for _ in range(8))
+    root = pathlib.Path(f"/tmp/goldenwave{suffix}")
     if root.exists():
         shutil.rmtree(root)
     (root / "data").mkdir(parents=True)
@@ -122,7 +126,8 @@ def wave_dir(tmp_path_factory):
         simul = rng.random((40, 64, 64)).astype(np.float32) * (i + 1)
         torch.save({"simul": torch.tensor(simul), "c": 350.0},
                    root / "data" / f"homogenous_wave{i}.pt")
-    return str(root)
+    yield str(root)
+    shutil.rmtree(root, ignore_errors=True)
 
 
 # -- TaxiBJ ------------------------------------------------------------------

@@ -33,7 +33,7 @@ def test_supervise_clean_run(tmp_path, monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     logs = []
     rc = sup.supervise(_wave_args(tmp_path), stall_timeout=600,
-                       log_fn=logs.append)
+                       log_fn=logs.append, startup_grace=0)
     assert rc == 0
     assert any("training exited rc=0" in l for l in logs)
     assert os.path.isdir(tmp_path / "xp" / "checkpoints" / "final")
@@ -61,7 +61,7 @@ def test_supervise_restarts_on_stall(tmp_path, monkeypatch):
     logs = []
     rc = sup.supervise(["--xp_dir", str(xp_dir)], stall_timeout=8,
                        grace=5, max_restarts=3, log_fn=logs.append,
-                       entry="hang_entry")
+                       entry="hang_entry", startup_grace=0)
     text = "\n".join(logs)
     assert rc == 0, text
     assert "killing pid" in text, text
@@ -78,6 +78,46 @@ def test_supervise_gives_up_after_max_restarts(tmp_path, monkeypatch):
     logs = []
     rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=4,
                        grace=3, max_restarts=1, log_fn=logs.append,
-                       entry="always_hang")
+                       entry="always_hang", startup_grace=0)
     assert rc == 1
     assert any("giving up" in l for l in logs)
+
+
+def test_supervise_partial_line_stall_detected(tmp_path, monkeypatch):
+    # a child that emits a PARTIAL line (no newline) then hangs must still
+    # trip the watchdog (raw chunked reads, not readline)
+    (tmp_path / "partial_hang.py").write_text(
+        "import sys, time\n"
+        "sys.stdout.write('compiling...')\n"
+        "sys.stdout.flush()\n"
+        "time.sleep(3600)\n")
+    monkeypatch.setenv("PYTHONPATH",
+                       f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
+    logs = []
+    rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=4,
+                       grace=3, max_restarts=0, log_fn=logs.append,
+                       entry="partial_hang", startup_grace=0)
+    assert rc == 1
+    assert any("killing pid" in l for l in logs), logs
+
+
+def test_supervise_relaunches_on_crash(tmp_path, monkeypatch):
+    # nonzero exit + max_failures: relaunch with --resume, succeed second try
+    (tmp_path / "crash_once.py").write_text(
+        "import os, sys\n"
+        "mark = os.path.join(os.path.dirname(__file__), 'crash.marker')\n"
+        "if not os.path.exists(mark):\n"
+        "    open(mark, 'w').close()\n"
+        "    print('transient backend error', flush=True)\n"
+        "    sys.exit(1)\n"
+        "assert '--resume' in sys.argv\n"
+        "print('recovered', flush=True)\n")
+    monkeypatch.setenv("PYTHONPATH",
+                       f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
+    logs = []
+    rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=60,
+                       log_fn=logs.append, entry="crash_once",
+                       startup_grace=0, max_failures=2)
+    text = "\n".join(logs)
+    assert rc == 0, text
+    assert "relaunching after failure 1/2" in text, text
