@@ -43,7 +43,8 @@ def supervise(train_args, stall_timeout: float = 600.0,
               max_restarts: int = 20, grace: float = 15.0,
               log_fn=print,
               entry: str = "spatiotemporal_variable_separation_tpu.cli.main",
-              startup_grace: float = 420.0, max_failures: int = 0) -> int:
+              startup_grace: float = 420.0, max_failures: int = 0,
+              deadline_min: float | None = None) -> int:
     """Run training under stall supervision; returns the final exit code.
 
     ``startup_grace``: the stall clock never triggers earlier than this
@@ -54,8 +55,14 @@ def supervise(train_args, stall_timeout: float = 600.0,
     when the child EXITS nonzero — transient backend errors
     (FAILED_PRECONDITION right after a device was force-freed) crash the
     process rather than hang it.
+    ``deadline_min``: total wall-clock budget in minutes; when exceeded the
+    child is stopped cooperatively (SIGTERM -> its guarded final save) and
+    supervision ends with the child's exit code. Bounds a run that must
+    yield the device to a subsequent job regardless of progress.
     """
     restarts = failures = 0
+    deadline = (time.monotonic() + deadline_min * 60.0
+                if deadline_min is not None else None)
     resume = "--resume" in train_args
     while True:
         child = _launch(train_args, resume, entry)
@@ -79,7 +86,21 @@ def supervise(train_args, stall_timeout: float = 600.0,
             for line in lines:
                 log_fn(line)
 
+        deadline_hit = False
         while child.poll() is None:
+            if deadline is not None and time.monotonic() > deadline:
+                deadline_hit = True
+                log_fn("[supervise] wall-clock deadline reached — stopping "
+                       f"pid {child.pid} cooperatively")
+                child.send_signal(signal.SIGTERM)
+                try:
+                    # generous: the cooperative stop finishes the in-flight
+                    # step and writes a final checkpoint over the tunnel.
+                    child.wait(timeout=max(grace, 120.0))
+                except subprocess.TimeoutExpired:
+                    child.kill()
+                    child.wait()
+                break
             if sel.select(timeout=5.0):
                 chunk = os.read(fd, 65536)
                 if chunk:
@@ -107,6 +128,10 @@ def supervise(train_args, stall_timeout: float = 600.0,
         if pending:
             log_fn(pending)
             pending = ""
+        if deadline_hit:
+            rc = child.returncode
+            log_fn(f"[supervise] deadline stop complete, rc={rc}")
+            return rc
         if not stalled:
             rc = child.returncode
             log_fn(f"[supervise] training exited rc={rc}")
@@ -141,6 +166,10 @@ def main(argv=None):
     p.add_argument("--max_failures", type=int, metavar="N", default=0,
                    help="also relaunch with --resume up to N times on "
                         "nonzero exit (transient backend errors)")
+    p.add_argument("--deadline_min", type=float, metavar="MIN", default=None,
+                   help="total wall-clock budget; on expiry the child is "
+                        "stopped cooperatively (final checkpoint saved) and "
+                        "supervision ends")
     p.add_argument("train_args", nargs=argparse.REMAINDER,
                    help="arguments for cli.main, after a literal --")
     args = p.parse_args(argv)
@@ -152,7 +181,8 @@ def main(argv=None):
     sys.exit(supervise(train_args, args.stall_timeout, args.max_restarts,
                        args.grace, entry=args.entry,
                        startup_grace=args.startup_grace,
-                       max_failures=args.max_failures))
+                       max_failures=args.max_failures,
+                       deadline_min=args.deadline_min))
 
 
 if __name__ == "__main__":

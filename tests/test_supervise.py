@@ -121,3 +121,31 @@ def test_supervise_relaunches_on_crash(tmp_path, monkeypatch):
     text = "\n".join(logs)
     assert rc == 0, text
     assert "relaunching after failure 1/2" in text, text
+
+
+def test_supervise_deadline_stops_cooperatively(tmp_path, monkeypatch):
+    # a healthy (never-stalling) child must be stopped at the wall-clock
+    # deadline via SIGTERM and its exit code passed through — the TPU
+    # analogue is the cooperative final-save path in train/loop.py
+    (tmp_path / "steady_entry.py").write_text(
+        "import signal, sys, time\n"
+        "stop = []\n"
+        "signal.signal(signal.SIGTERM, lambda *a: stop.append(1))\n"
+        "print('training: stub started', flush=True)\n"
+        "for i in range(10000):\n"
+        "    time.sleep(0.1)\n"
+        "    print('epoch', i, 'done', flush=True)\n"
+        "    if stop:\n"
+        "        print('final checkpoint saved', flush=True)\n"
+        "        sys.exit(0)\n")
+    monkeypatch.setenv("PYTHONPATH",
+                       f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
+    logs = []
+    rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=600,
+                       log_fn=logs.append, entry="steady_entry",
+                       startup_grace=0, deadline_min=3.0 / 60.0)
+    text = "\n".join(logs)
+    assert rc == 0, text
+    assert "deadline reached" in text, text
+    assert "final checkpoint saved" in text, text
+    assert "deadline stop complete" in text, text
