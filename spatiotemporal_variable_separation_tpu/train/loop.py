@@ -146,6 +146,7 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
         host_step = int(state.step)
         start_epoch = host_step // n_steps
         metrics = None
+        first_step_t0 = time.time()  # first update = silent remote compile
         # --profile traces steps 3..13 of the first epoch; the steps are
         # part of normal training (the same iterator continues afterwards),
         # so step counts and the LR schedule stay exact.
@@ -158,6 +159,13 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                     raise KeyboardInterrupt  # between steps: state is live
                 state, metrics = do_update(state)
                 host_step += 1
+                if first_step_t0 is not None:
+                    # hard fence: the dispatch above returns futures; fetch
+                    # one scalar so "first step done" means compile+run done.
+                    float(metrics["loss"])
+                    log_fn(f"first step done in {time.time() - first_step_t0:.1f}s "
+                           "(incl. compile)")
+                    first_step_t0 = None
                 if profile and profile_ctx is None and host_step >= profile_after:
                     from spatiotemporal_variable_separation_tpu.utils.profiling import trace
 
