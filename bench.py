@@ -263,7 +263,26 @@ def preflight():
 
 def main():
     preflight()
+    # Second watchdog for the measurement itself: the flagship-step remote
+    # compile has been observed to take ~14 min when the tunnel is degraded,
+    # and a mid-compile hang would otherwise surface as a bare rc=124. Keep
+    # the budget generous (compile + warmup + 50 steps fits in minutes when
+    # healthy) but bounded, and always emit the one JSON line.
+    import threading
+
+    def _die():
+        print(json.dumps({
+            "metric": "train_samples_per_sec_per_chip", "value": None,
+            "error": "bench timed out after 2400s (device responsive at "
+                     "preflight — compile or execution stalled on the "
+                     "tunnel); restart the container and re-run"}))
+        os._exit(3)
+
+    watchdog = threading.Timer(2400.0, _die)
+    watchdog.daemon = True
+    watchdog.start()
     value, n_dev, loss, stats = bench_tpu()
+    watchdog.cancel()
     baseline = get_baseline()
     vs = value / baseline["baseline_samples_per_sec"] if baseline else None
     out = {
