@@ -259,6 +259,14 @@ def preflight():
         sys.exit(1)
     watchdog.cancel()
     print(f"preflight ok: {n} device(s)", file=sys.stderr)
+    try:
+        from spatiotemporal_variable_separation_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()  # repeat bench runs skip remote recompile
+    except Exception:
+        pass
 
 
 def main():

@@ -12,6 +12,11 @@ def main(argv=None):
         config_from_args,
     )
     from spatiotemporal_variable_separation_tpu.train.loop import run_training
+    from spatiotemporal_variable_separation_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     parser = build_parser()
     parser.add_argument("--resume", action="store_true",

@@ -30,6 +30,11 @@ class Evaluator:
     """
 
     def __init__(self, model, variables: dict, mesh=None):
+        from spatiotemporal_variable_separation_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()  # repeated eval CLIs skip remote recompile
         self.model = model
         self.mesh = mesh
 

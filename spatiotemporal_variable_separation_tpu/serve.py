@@ -38,6 +38,11 @@ class Forecaster:
 
     def __init__(self, model, variables: dict, cfg, batch_size: int,
                  n_forecast: int, mesh=None):
+        from spatiotemporal_variable_separation_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()  # server restarts reuse the AOT binary
         self.cfg = cfg
         self.batch_size = batch_size
         self.n_forecast = n_forecast
