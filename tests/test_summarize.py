@@ -1,0 +1,36 @@
+"""Run-summary CLI digest: config echo, checkpoint listing, curve points."""
+
+import json
+import os
+
+from spatiotemporal_variable_separation_tpu.cli.summarize import summarize
+
+
+def test_summarize_digest(tmp_path):
+    xp = tmp_path / "xp"
+    (xp / "checkpoints" / "10").mkdir(parents=True)
+    (xp / "checkpoints" / "final").mkdir()
+    (xp / "params.json").write_text(json.dumps(
+        {"data": "wave", "architecture": "mlp", "epochs": 2,
+         "batch_size": 8, "precision": "f32", "steps_per_epoch": 3}))
+    with open(xp / "metrics.csv", "w") as f:
+        f.write("step,wall_s,ae,forecast,loss,s_inv,t_reg,samples_per_sec\n")
+        for s in range(1, 7):
+            f.write(f"{s},{s}.0,{0.1/s},{0.2/s},{1.0/s},{0.01/s},{2.0/s},"
+                    f"{100+s}\n")
+        f.write("7,7.0,bad,row,,,,\n")  # partial line from a killed writer
+    lines = []
+    out = summarize(str(xp), points=3, log_fn=lines.append)
+    assert out["checkpoints"] == ["final", "10"]
+    assert out["steps_logged"] == 6
+    assert out["samples_per_sec_median"] == 104
+    assert out["curve"][0]["step"] == 1 and out["curve"][-1]["step"] == 6
+    text = "\n".join(lines)
+    assert "wave/mlp" in text and "throughput" in text
+
+
+def test_summarize_empty_dir(tmp_path):
+    lines = []
+    out = summarize(str(tmp_path), log_fn=lines.append)
+    assert "curve" not in out
+    assert any("no metrics.csv" in l for l in lines)
