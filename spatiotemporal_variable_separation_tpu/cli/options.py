@@ -152,6 +152,16 @@ def add_devices_arg(parser) -> None:
                              "devices (default: single device).")
 
 
+def add_bn_reestimate_arg(parser) -> None:
+    """Shared --bn_reestimate flag for eval CLIs (BN recalibration)."""
+    parser.add_argument(
+        "--bn_reestimate", type=int, metavar="N", default=0,
+        help="Before scoring, refresh BatchNorm running statistics from N "
+             "random conditioning batches run in train mode (SWA update_bn "
+             "style). 0 (default) = reference-parity protocol, stats as "
+             "trained.")
+
+
 def mesh_from_args(args):
     """Build the 1-D data mesh requested by --devices (None = no mesh)."""
     if getattr(args, "devices", None):

@@ -12,18 +12,21 @@ def main(argv=None):
     p.add_argument("--nt_pred", type=int, metavar="PRED", required=True)
     p.add_argument("--test_seed", type=int, metavar="SEED", default=1)
     from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_bn_reestimate_arg,
         add_devices_arg,
         mesh_from_args,
     )
 
     add_devices_arg(p)
+    add_bn_reestimate_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 
     from spatiotemporal_variable_separation_tpu.eval.mnist import evaluate
 
     means = evaluate(args.xp_dir, args.data_dir, args.nt_pred, args.batch_size,
-                     args.test_seed, args.epoch, mesh=mesh)
+                     args.test_seed, args.epoch, mesh=mesh,
+                     bn_reestimate=args.bn_reestimate)
     print("Results:")
     for k, v in means.items():
         print(k, v)

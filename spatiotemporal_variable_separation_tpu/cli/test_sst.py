@@ -14,11 +14,13 @@ def main(argv=None):
                    help="Reproduce the reference eval's stat-broadcast quirk "
                         "exactly (for comparing against paper numbers).")
     from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_bn_reestimate_arg,
         add_devices_arg,
         mesh_from_args,
     )
 
     add_devices_arg(p)
+    add_bn_reestimate_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 
@@ -26,7 +28,8 @@ def main(argv=None):
 
     means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch,
                      zones=args.zones,
-                     reference_broadcast=args.reference_broadcast, mesh=mesh)
+                     reference_broadcast=args.reference_broadcast, mesh=mesh,
+                     bn_reestimate=args.bn_reestimate)
     print(f"MSE at t+10: {means['mse_t10']}")
     print(f"MSE at t+6: {means['mse_t6']}")
     print(f"SSIM at t+10: {means['ssim_t10']}")

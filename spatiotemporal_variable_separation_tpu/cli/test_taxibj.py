@@ -10,17 +10,20 @@ def main(argv=None):
     p.add_argument("--epoch", type=int, metavar="EPOCH", default=None)
     p.add_argument("--batch_size", type=int, metavar="BATCH", default=128)
     from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_bn_reestimate_arg,
         add_devices_arg,
         mesh_from_args,
     )
 
     add_devices_arg(p)
+    add_bn_reestimate_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 
     from spatiotemporal_variable_separation_tpu.eval.taxibj import evaluate
 
-    means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch, mesh=mesh)
+    means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch, mesh=mesh,
+                     bn_reestimate=args.bn_reestimate)
     print(f"MSE at t+4: {means['mse_t4']}")
 
 

@@ -18,6 +18,7 @@ import numpy as np
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.chairs import Chairs
 from spatiotemporal_variable_separation_tpu.eval.common import (
+    bn_reestimate_pass,
     Evaluator,
     batch_indices,
     pixel_metrics,
@@ -47,7 +48,7 @@ class SwapDataset(Chairs):
 def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
              test_seed: int = 1, epoch: Optional[int] = None,
              max_batches: Optional[int] = None, model_bundle=None,
-             mesh=None) -> Dict[str, float]:
+             mesh=None, bn_reestimate: int = 0) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -62,6 +63,7 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
     test_set = Chairs(False, data_dir, nt_cond, seq_len=nt_test)
     swap_set = SwapDataset(False, data_dir, nt_cond, rng, seq_len=nt_test)
 
+    bn_reestimate_pass(ev, test_set, batch_size, nt_test, bn_reestimate)
     results = defaultdict(list)
     n = len(test_set)
     for idx, n_real in batch_indices(n, min(batch_size, n), max_batches):

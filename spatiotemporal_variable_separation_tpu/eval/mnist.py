@@ -23,6 +23,7 @@ from spatiotemporal_variable_separation_tpu.data.moving_mnist import MovingMNIST
 from spatiotemporal_variable_separation_tpu.eval.common import (
     Evaluator,
     batch_indices,
+    bn_reestimate_pass,
     pixel_metrics,
     to_uint8_nchw_last,
 )
@@ -31,7 +32,8 @@ from spatiotemporal_variable_separation_tpu.eval.common import (
 def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
              test_seed: int = 1, epoch: Optional[int] = None,
              save_arrays: bool = True, max_batches: Optional[int] = None,
-             model_bundle=None, mesh=None) -> Dict[str, float]:
+             model_bundle=None, mesh=None,
+             bn_reestimate: int = 0) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -49,6 +51,7 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
                                          seed=test_seed,
                                          synthetic_fallback=model_bundle is not None)
 
+    bn_reestimate_pass(ev, test_set, batch_size, nt_test, bn_reestimate)
     results = defaultdict(list)
     arch = defaultdict(list)
     for idx, n_real in batch_indices(len(test_set), batch_size, max_batches):

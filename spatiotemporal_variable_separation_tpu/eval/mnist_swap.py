@@ -25,6 +25,7 @@ from spatiotemporal_variable_separation_tpu.data.moving_mnist import (
     load_mnist,
 )
 from spatiotemporal_variable_separation_tpu.eval.common import (
+    bn_reestimate_pass,
     Evaluator,
     batch_indices,
     pixel_metrics,
@@ -75,7 +76,8 @@ class SwapDataset:
 def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
              test_seed: int = 1, epoch: Optional[int] = None,
              max_batches: Optional[int] = None, model_bundle=None,
-             images: Optional[np.ndarray] = None, mesh=None) -> Dict[str, float]:
+             images: Optional[np.ndarray] = None, mesh=None,
+             bn_reestimate: int = 0) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -93,6 +95,7 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
                            images=images)
     n_perms = math.factorial(cfg.n_object)
 
+    bn_reestimate_pass(ev, test_set, batch_size, nt_test, bn_reestimate)
     results = defaultdict(list)
     arch = defaultdict(list)
     n = min(len(test_set), len(swap_set))

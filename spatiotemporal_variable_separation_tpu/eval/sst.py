@@ -32,7 +32,7 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
              epoch: Optional[int] = None, zones: Sequence[int] = range(17, 21),
              max_batches: Optional[int] = None, model_bundle=None,
              test_set=None, reference_broadcast: bool = False,
-             mesh=None) -> Dict[str, float]:
+             mesh=None, bn_reestimate: int = 0) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -46,6 +46,9 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
     ev = Evaluator(model, variables, mesh=mesh)
     nt_cond, offset = cfg.nt_cond, cfg.offset
 
+    horizon = (NT_PRED + nt_cond) if offset else NT_PRED
+    bn_reestimate_pass(ev, test_set, min(batch_size, len(test_set)), horizon,
+                       bn_reestimate)
     all_mse, all_ssim = [], []
     for idx, n_real in batch_indices(len(test_set),
                                      min(batch_size, len(test_set)), max_batches):

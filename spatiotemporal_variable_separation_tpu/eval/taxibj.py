@@ -18,7 +18,8 @@ NT_PRED = 4
 
 def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
              epoch: Optional[int] = None, max_batches: Optional[int] = None,
-             model_bundle=None, test_set=None, mesh=None) -> Dict[str, float]:
+             model_bundle=None, test_set=None, mesh=None,
+             bn_reestimate: int = 0) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -32,6 +33,9 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
     ev = Evaluator(model, variables, mesh=mesh)
     nt_cond, offset = cfg.nt_cond, cfg.offset
 
+    horizon = (NT_PRED + nt_cond) if offset else NT_PRED
+    bn_reestimate_pass(ev, test_set, min(batch_size, len(test_set)), horizon,
+                       bn_reestimate)
     all_mse = []
     for idx, n_real in batch_indices(len(test_set),
                                      min(batch_size, len(test_set)), max_batches):
