@@ -153,3 +153,63 @@ def test_forecast_rollout_golden():
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(ours_fc).transpose(0, 1, 4, 2, 3),
                                ref_fc.numpy(), atol=5e-5)
+
+
+def test_total_loss_gradient_golden():
+    """Gradients of the weighted 4-term objective must match the reference's
+    autograd through the identical computation (``train.py:113-149``) —
+    value parity alone would miss a stop-gradient / detached-tensor bug that
+    changes training dynamics (e.g. the s_inv term silently not training
+    the encoder)."""
+    model, v, ref_net, rtrain = _build_pair()
+    rng = np.random.default_rng(5)
+    cond = rng.random((2, NT_COND, 16, 16, 1)).astype(np.float32)
+    target = rng.random((2, NT_PRED, 16, 16, 1)).astype(np.float32)
+    t_cond = torch.tensor(cond.transpose(0, 1, 4, 2, 3))
+    t_target = torch.tensor(target.transpose(0, 1, 4, 2, 3))
+    offset = NT_COND
+    lamb_ae, lamb_s, lamb_t, lamb_pred = 10.0, 45.0, 1e-3, 45.0
+
+    np.random.seed(321)
+    ref_ae, s_new, s_old = rtrain.ae_loss(t_cond, t_target, ref_net,
+                                          NT_COND, offset, False)
+    ref_sinv = rtrain.zero_order_loss(s_old, s_new, False)
+    full = torch.cat([t_cond, t_target], dim=1)
+    forecasts, t_codes, _, _ = ref_net.get_forecast(
+        t_cond, NT_PRED + offset, init_s_code=s_old)
+    ref_fc = torch.nn.functional.mse_loss(forecasts, full)
+    ref_treg = 0.5 * torch.sum(t_codes[:, 0].pow(2), dim=1).mean()
+    total = (lamb_ae * ref_ae + lamb_s * ref_sinv + lamb_pred * ref_fc
+             + lamb_t * ref_treg)
+    total.backward()
+
+    np.random.seed(321)
+    t_random = np.random.randint(NT_COND, NT_COND + NT_PRED + 1)
+
+    def loss_fn(params):
+        total, _ = model.apply(
+            {"params": params}, jnp.asarray(cond), jnp.asarray(target),
+            jnp.int32(t_random), offset, lamb_ae, lamb_s, lamb_t, lamb_pred,
+            False, False, method=model.compute_losses)
+        return total
+
+    grads = jax.grad(loss_fn)(v["params"])
+
+    pairs = [
+        (ref_net.Es.mlp.module[0][-1].weight.grad,
+         grads["Es"]["mlp"]["block_0"]["linear"]["kernel"], True),
+        (ref_net.Es.mlp.module[2][-1].bias.grad,
+         grads["Es"]["mlp"]["block_2"]["linear"]["bias"], False),
+        (ref_net.Et.mlp.module[0][-1].weight.grad,
+         grads["Et"]["mlp"]["block_0"]["linear"]["kernel"], True),
+        (ref_net.decoder.mlp.module[0][-1].weight.grad,
+         grads["decoder"]["mlp"]["block_0"]["linear"]["kernel"], True),
+        (ref_net.t_resnet.blocks[0].mlp.module[0][-1].weight.grad,
+         grads["t_resnet"]["block_0"]["block_0"]["linear"]["kernel"], True),
+    ]
+    for t_grad, j_grad, transpose in pairs:
+        ref_g = t_grad.detach().numpy()
+        ours = np.asarray(j_grad, np.float32)
+        if transpose:
+            ours = ours.T
+        np.testing.assert_allclose(ours, ref_g, rtol=2e-4, atol=1e-6)
