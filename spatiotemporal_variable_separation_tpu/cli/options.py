@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
                        help="Accepted for recipe parity; maps to bf16 compute.")
     amp_x.add_argument("--apex_amp", action="store_true",
                        help="Accepted for recipe parity; maps to bf16 compute.")
-    amp_p.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"],
+    amp_p.add_argument("--precision", type=str, default=None, choices=["bf16", "f32", "mixed"],
                        help="Compute precision (params stay f32). Default bf16.")
 
     distr_p = parser.add_argument_group(title="Distributed")

@@ -26,7 +26,7 @@ ARCH_TYPES = ("dcgan", "vgg", "resnet", "mlp", "encoderSST")
 DECODER_ARCH_TYPES = ("dcgan", "vgg", "mlp", "decoderSST")
 INITIALIZATIONS = ("orthogonal", "kaiming", "normal", "xavier")
 MIXING = ("concat", "mul")
-PRECISIONS = ("bf16", "f32")
+PRECISIONS = ("bf16", "f32", "mixed")
 DECODE_MODES = ("batched", "stepwise")
 
 

@@ -33,7 +33,17 @@ Dtype = Any
 
 
 def compute_dtype(precision: str) -> Dtype:
-    return jnp.bfloat16 if precision == "bf16" else jnp.float32
+    return jnp.float32 if precision == "f32" else jnp.bfloat16
+
+
+def integrator_dtype(precision: str) -> Dtype:
+    """``mixed`` keeps the temporal integrator in f32 while conv stacks run
+    bf16 on the MXU: the round-2 MNIST run showed the integrator's spectral
+    radius is where bf16 gradient quantization bites first (BASELINE.md
+    "bf16 destabilizes" section); the integrator is a tiny fraction of the
+    step's FLOPs, so f32 there costs ~nothing. EXPERIMENTAL: the full
+    bf16-vs-mixed-vs-f32 dynamics A/B on TPU is a round-3 item."""
+    return jnp.float32 if precision in ("f32", "mixed") else jnp.bfloat16
 
 
 def get_encoder(nn_type: str, frame_shape: Tuple[int, ...], output_size: int,
@@ -110,7 +120,8 @@ def build_separable_network(cfg: ExperimentConfig) -> SeparableNetwork:
                           dtype=dtype, name="decoder")
     integrator = get_integrator(cfg.n_blocks, cfg.res_hidden_size, cfg.init_resnet,
                                 cfg.gain_resnet, cfg.fully_conv_integrator,
-                                dtype=dtype, name="t_resnet")
+                                dtype=integrator_dtype(cfg.precision),
+                                name="t_resnet")
     return SeparableNetwork(Es=es, Et=et, t_resnet=integrator, decoder=decoder,
                             nt_cond=cfg.nt_cond, skipco=cfg.skipco,
                             decode_mode=cfg.decode_mode, remat=cfg.remat)

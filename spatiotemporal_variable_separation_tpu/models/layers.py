@@ -76,14 +76,20 @@ class ConvBlock(nn.Module):
                 name="conv",
             )(x)
         if self.bn:
+            # BatchNorm always computes in f32, matching torch/Apex AMP O1
+            # (norms are blacklisted from f16 there) and standard mixed-
+            # precision practice: bf16 batch statistics at large activation
+            # scale are what corrupted eval-mode quality in the round-2
+            # MNIST run (BASELINE.md "bf16 destabilizes" section).
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,  # torch BatchNorm2d momentum=0.1
                 epsilon=1e-5,
                 scale_init=bn_scale_init(self.init_gain),
-                dtype=self.dtype,
+                dtype=jnp.float32,
                 name="bn",
             )(x)
+            x = x.astype(self.dtype)
         return activation(self.act)(x)
 
 

@@ -37,9 +37,12 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kinit = conv_kernel_init(self.init_type, self.init_gain)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                       epsilon=1e-5, scale_init=bn_scale_init(self.init_gain),
-                                       dtype=self.dtype, name=name)
+        # BN in f32 regardless of compute dtype (torch-AMP parity; see
+        # layers.ConvBlock) — callers get activations cast back below.
+        bn = lambda name: (lambda h: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            scale_init=bn_scale_init(self.init_gain), dtype=jnp.float32,
+            name=name)(h).astype(self.dtype))
         residual = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=((1, 1), (1, 1)), kernel_init=kinit, dtype=self.dtype,
@@ -70,8 +73,8 @@ class ResNet18(nn.Module):
         x = nn.Conv(64, (5, 5), strides=(2, 2), padding=((3, 3), (3, 3)),
                     kernel_init=kinit, dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         scale_init=bn_scale_init(self.init_gain), dtype=self.dtype,
-                         name="stem_bn")(x)
+                         scale_init=bn_scale_init(self.init_gain), dtype=jnp.float32,
+                         name="stem_bn")(x).astype(self.dtype)
         x = nn.relu(x)
         x = max_pool_3x3_s2_p1(x)
         inplanes = 64

@@ -64,6 +64,11 @@ class SeparableNetwork(nn.Module):
         if n_forecast <= 1:
             return t_code[None], None
 
+        # the scan carry must keep one dtype: under the ``mixed`` policy the
+        # integrator computes f32 while the encoder emitted bf16 codes.
+        int_dtype = getattr(self.t_resnet, "dtype", t_code.dtype)
+        t_code = t_code.astype(int_dtype)
+
         def step(mdl, carry, _):
             t_new, res = mdl.t_resnet(carry, train=train)
             return t_new, (t_new, res)

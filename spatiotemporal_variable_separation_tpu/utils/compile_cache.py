@@ -34,6 +34,15 @@ def enable_compilation_cache(cache_dir: str | None = None,
     try:
         import jax
 
+        if cache_dir is None and env is None and jax.default_backend() == "cpu":
+            # Default-on only for accelerator backends: the cache exists to
+            # skip the multi-minute remote TPU compile, CPU compiles are
+            # seconds — and enabling it for the training CLI on the CPU
+            # platform has been observed to hang the first compile (JAX
+            # 0.9, observed in round 2; toy programs are fine, the full
+            # train-step flow is not). Explicit opt-in (argument or env
+            # var) still enables it anywhere.
+            return None
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache even fast-compiling programs: over the tunnel, *every*
