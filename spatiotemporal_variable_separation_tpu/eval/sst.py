@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.sst import SST
-from spatiotemporal_variable_separation_tpu.eval.common import Evaluator, batch_indices
+from spatiotemporal_variable_separation_tpu.eval.common import (
+    Evaluator,
+    batch_indices,
+    bn_reestimate_pass,
+)
 from spatiotemporal_variable_separation_tpu.ops.ssim import ssim_per_frame
 
 NT_PRED = 10

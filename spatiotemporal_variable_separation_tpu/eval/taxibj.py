@@ -11,7 +11,11 @@ import numpy as np
 
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.taxibj import TaxiBJ
-from spatiotemporal_variable_separation_tpu.eval.common import Evaluator, batch_indices
+from spatiotemporal_variable_separation_tpu.eval.common import (
+    Evaluator,
+    batch_indices,
+    bn_reestimate_pass,
+)
 
 NT_PRED = 4
 
