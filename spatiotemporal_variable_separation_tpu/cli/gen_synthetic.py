@@ -8,7 +8,7 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="varsep-tpu synthetic corpora")
-    p.add_argument("corpus", choices=["taxibj", "sst", "chairs"])
+    p.add_argument("corpus", choices=["taxibj", "sst", "chairs", "mnist"])
     p.add_argument("--data_dir", type=str, metavar="DIR", required=True)
     p.add_argument("--seed", type=int, metavar="SEED", default=0)
     p.add_argument("--days_per_year", type=int, default=120,
@@ -24,6 +24,8 @@ def main(argv=None):
         sc.make_taxibj(args.data_dir, args.days_per_year, args.seed)
     elif args.corpus == "sst":
         sc.make_sst(args.data_dir, args.zones, args.n_days, args.seed)
+    elif args.corpus == "mnist":
+        sc.make_mnist_standin(args.data_dir, args.seed)
     else:
         sc.make_chairs(args.data_dir, args.n_objects, args.seed)
     print(f"synthetic {args.corpus} corpus written to {args.data_dir}")

@@ -19,6 +19,12 @@ Formats mirrored:
 * Chairs: ``rendered_chairs/<obj>/renders/{i}.png`` 64x64 RGB, 62 views,
   plus the ``all_chair_names.mat`` entry the loader removes (reference
   ``var_sep/data/chairs.py:33-35``).
+* MNIST: raw idx ``train-images-idx3-ubyte`` etc. (torchvision
+  ``MNIST/raw`` layout read by ``data/moving_mnist.py:load_mnist``) built
+  from scikit-learn's bundled UCI handwritten-digits set (1,797 real 8x8
+  digits, no network needed) upscaled to the MNIST 28x28 frame — real
+  handwritten digit classes, so the Moving-MNIST recipes and the
+  digit-permutation disentanglement protocol run end to end.
 """
 
 from __future__ import annotations
@@ -96,6 +102,68 @@ def make_sst(data_dir: str, zones=range(1, 30), n_days: int = 1600,
                              data=fields.mean(axis=(1, 2)).astype(np.float64))
             f.create_dataset("daily_std",
                              data=fields.std(axis=(1, 2)).astype(np.float64))
+
+
+def _write_idx(path: str, arr: np.ndarray) -> None:
+    """Raw idx (ubyte) writer: magic = 0x0000'08'<ndim>, big-endian dims."""
+    import struct
+
+    arr = np.ascontiguousarray(arr, np.uint8)
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", 0x0800 | arr.ndim))
+        for d in arr.shape:
+            f.write(struct.pack(">I", d))
+        f.write(arr.tobytes())
+
+
+def make_mnist_standin(data_dir: str, seed: int = 0,
+                       n_test: int = 500) -> None:
+    """MNIST-layout idx corpus from scikit-learn's bundled digits.
+
+    Each 8x8 digit (values 0-16) is cubic-upscaled to the 20x20 glyph box
+    and centered in a 28x28 frame — the same layout as real MNIST, so the
+    Moving-MNIST compositing geometry (`var_sep/data/moving_mnist.py`,
+    28-px digit size inside 64-px frames) is unchanged.  A seeded
+    stratified split reserves ``n_test`` digits for the t10k files.  These
+    are REAL handwritten digits with true class labels (disentanglement's
+    best-over-digit-permutation metric stays meaningful) but only ~1.8k of
+    them — a documented stand-in for environments where the MNIST corpus
+    cannot be downloaded, not a claim of paper-comparable numbers.
+    """
+    from sklearn.datasets import load_digits
+
+    try:
+        import cv2
+
+        def up(img):  # (8,8) float 0-16 -> (20,20) uint8
+            big = cv2.resize(img, (20, 20), interpolation=cv2.INTER_CUBIC)
+            return np.clip(big * (255.0 / 16.0), 0, 255).astype(np.uint8)
+    except ImportError:  # pragma: no cover - cv2 is present in this image
+        from PIL import Image
+
+        def up(img):
+            im = Image.fromarray((img * (255.0 / 16.0)).astype(np.uint8))
+            return np.asarray(im.resize((20, 20), Image.BICUBIC))
+
+    bunch = load_digits()
+    rng = np.random.RandomState(seed)
+    frames = np.zeros((len(bunch.images), 28, 28), np.uint8)
+    for i, img in enumerate(bunch.images):
+        frames[i, 4:24, 4:24] = up(img.astype(np.float32))
+    labels = bunch.target.astype(np.uint8)
+
+    # stratified test split: n_test/10 per class, seeded
+    test_mask = np.zeros(len(labels), bool)
+    for c in range(10):
+        idx = np.flatnonzero(labels == c)
+        test_mask[rng.choice(idx, size=n_test // 10, replace=False)] = True
+
+    raw = os.path.join(data_dir, "MNIST", "raw")
+    os.makedirs(raw, exist_ok=True)
+    _write_idx(os.path.join(raw, "train-images-idx3-ubyte"), frames[~test_mask])
+    _write_idx(os.path.join(raw, "train-labels-idx1-ubyte"), labels[~test_mask])
+    _write_idx(os.path.join(raw, "t10k-images-idx3-ubyte"), frames[test_mask])
+    _write_idx(os.path.join(raw, "t10k-labels-idx1-ubyte"), labels[test_mask])
 
 
 def make_chairs(data_dir: str, n_objects: int = 200, seed: int = 0) -> None:

@@ -45,3 +45,23 @@ def test_chairs_corpus_loads(tmp_path):
     # views rotate: consecutive renders differ, white background preserved
     assert not np.array_equal(cond[0], cond[1])
     assert cond.max() == 1.0
+
+
+def test_mnist_standin_corpus_loads(tmp_path):
+    pytest.importorskip("sklearn")
+    sc.make_mnist_standin(str(tmp_path), seed=3, n_test=100)
+    from spatiotemporal_variable_separation_tpu.data.moving_mnist import load_mnist
+
+    tr_img, tr_lbl = load_mnist(str(tmp_path), train=True)
+    te_img, te_lbl = load_mnist(str(tmp_path), train=False)
+    assert tr_img.shape[1:] == (28, 28) and tr_img.dtype == np.uint8
+    assert len(te_img) == 100 and len(tr_img) + len(te_img) == 1797
+    # stratified test split: exactly n_test/10 per class
+    assert np.bincount(te_lbl, minlength=10).tolist() == [10] * 10
+    # MNIST layout: glyph confined to the centered 20x20 box, real contrast
+    assert tr_img[:, :4, :].max() == 0 and tr_img[:, :, 24:].max() == 0
+    assert tr_img.max() == 255
+    # deterministic in the seed
+    sc.make_mnist_standin(str(tmp_path / "b"), seed=3, n_test=100)
+    tr2, _ = load_mnist(str(tmp_path / "b"), train=True)
+    assert np.array_equal(tr_img, tr2)
