@@ -1,0 +1,81 @@
+"""Checkpoint stability diagnosis CLI.
+
+Prints the rollout-stability report (integrator gain, code norms, BN
+running-stat health — see ``eval/diagnostics.py``) for one or every
+checkpoint of an experiment, plus one machine-readable JSON line each.
+This is the probe that localized the bf16 BN-masked integrator runaway
+(BASELINE.md); run it whenever eval metrics degrade while train losses
+improve.
+"""
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="varsep-tpu checkpoint diagnosis")
+    p.add_argument("--xp_dir", type=str, metavar="DIR", required=True)
+    p.add_argument("--data_dir", type=str, metavar="DIR", default=None,
+                   help="Draw the probe batch from the real train data; "
+                        "omitted -> standard-normal frames (gain/BN probes "
+                        "stay valid, code scales are indicative only).")
+    p.add_argument("--epoch", type=str, metavar="EPOCH", default=None,
+                   help="Checkpoint name/epoch; 'all' scans every checkpoint.")
+    p.add_argument("--batch_size", type=int, metavar="BATCH", default=32)
+    p.add_argument("--n_steps", type=int, metavar="N", default=20,
+                   help="Integrator steps to probe.")
+    p.add_argument("--horizon", type=int, metavar="N", default=95,
+                   help="Eval-protocol rollout length for projected growth.")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import numpy as np
+
+    from spatiotemporal_variable_separation_tpu import checkpoint as ckpt
+    from spatiotemporal_variable_separation_tpu.eval.diagnostics import (
+        diagnose,
+        format_report,
+    )
+
+    names = ([None] if args.epoch != "all"
+             else ckpt.list_checkpoints(args.xp_dir))
+    if args.epoch not in (None, "all"):
+        names = [args.epoch]
+
+    cond = None
+    for name in names:
+        model, variables, cfg = ckpt.load_for_eval(args.xp_dir, name)
+        if cond is None:
+            if args.data_dir:
+                cfg_d = dataclasses.replace(cfg, data_dir=args.data_dir,
+                                            batch_size=args.batch_size,
+                                            num_workers=0)
+                from spatiotemporal_variable_separation_tpu.data.registry import (
+                    epoch_iterator,
+                    make_train_dataset,
+                )
+                dataset = make_train_dataset(cfg_d)
+                cond, _ = next(iter(epoch_iterator(cfg_d, dataset, 0)))
+                cond = np.asarray(cond)
+            else:
+                rng = np.random.default_rng(0)
+                cond = rng.standard_normal(
+                    (args.batch_size, cfg.nt_cond) + cfg.frame_shape
+                ).astype(np.float32)
+        rep = diagnose(model, variables, cond, args.n_steps, args.horizon)
+        label = name or "latest"
+        print(f"== checkpoint {label} ==")
+        print(format_report(rep))
+        print(json.dumps({
+            "checkpoint": label,
+            "gain_geomean": rep["gain_geomean"],
+            "s_mean_abs": float(rep["s_mean_abs"]),
+            "bn_max_var": rep["bn"]["max_var"],
+            "projected_growth": rep.get("projected_growth_at_horizon"),
+            "verdict": rep["verdict"],
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Rollout-stability diagnostics: integrator gain, code norms, BN health.
+
+Motivation (measured, BASELINE.md "bf16 destabilizes the MNIST recipe"):
+nothing in the reference's 4-term objective (``var_sep/train.py:91-163``)
+constrains pre-BatchNorm scale, so a training run can look healthy on its
+train-mode losses while the latent rollout diverges and eval-mode BN
+collapses — the first visible symptom is eval MSE drifting *up* epoch
+over epoch.  The quantities that detected and explained that failure are
+packaged here as a reusable probe over any checkpoint:
+
+* **integrator gain** — per-step growth factor of ``||T_t||`` under the
+  learned residual integrator (``resnet.py:27-29``'s ``x + MLP(x)``); a
+  geometric-mean gain persistently > 1 compounds exponentially over the
+  95-frame eval horizons.
+* **code norms** — mean ``|S|`` and ``||T_0||``; the runaway manifests as
+  ``|S|`` growing past O(100) while train losses keep improving.
+* **BatchNorm health** — extrema of the running statistics per
+  collection; a running variance of 1e29 means eval mode is dead even
+  though train mode (batch statistics) still decodes perfectly.
+
+The probe is forward-only, jitted once, and cheap (one conditioning
+batch), so it can run per-checkpoint during training or from the CLI
+(``python -m spatiotemporal_variable_separation_tpu.cli.diagnose``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _norms(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample L2 norm over all non-batch axes; x: (B, ...) -> (B,)."""
+    return jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)),
+                            axis=tuple(range(1, x.ndim))))
+
+
+def rollout_probe(model, variables: dict, cond: np.ndarray,
+                  n_steps: int) -> Dict[str, Any]:
+    """Roll the integrator ``n_steps`` ahead of a conditioning batch and
+    measure gain/norm trajectories (no decoding — probe the latent path).
+
+    Returns per-step T-code norms (n_steps+1,), per-step gains (n_steps,),
+    their geometric mean, and S statistics."""
+
+    @jax.jit
+    def probe(variables, cond):
+        s_full = model.apply(variables, cond, method=model.encode_s)
+        s_code = s_full[0] if isinstance(s_full, tuple) else s_full
+        t0 = model.apply(variables, cond, method=model.encode_t)
+        t_codes, _ = model.apply(variables, t0, n_steps + 1, False,
+                                 method=model._integrate)
+        # t_codes: (n_steps+1, B, ...)
+        norms = jax.vmap(_norms)(t_codes)            # (n+1, B)
+        mean_norms = norms.mean(axis=1)
+        gains = mean_norms[1:] / jnp.maximum(mean_norms[:-1], 1e-30)
+        return {
+            "t_norms": mean_norms,
+            "gains": gains,
+            "s_mean_abs": jnp.mean(jnp.abs(s_code.astype(jnp.float32))),
+            "s_norm": jnp.mean(_norms(s_code)),
+            "t0_norm": mean_norms[0],
+        }
+
+    out = jax.device_get(probe(variables, jnp.asarray(cond)))
+    gains = np.asarray(out["gains"], np.float64)
+    out["gain_geomean"] = float(np.exp(np.mean(np.log(np.maximum(gains, 1e-30)))))
+    out["gain_final"] = float(gains[-1]) if gains.size else 1.0
+    return out
+
+
+def bn_health(variables: dict) -> Dict[str, Any]:
+    """Extrema of BatchNorm running statistics, flat-keyed by module path.
+
+    An eval-only probe: huge ``var`` (or drifting ``|mean|``) in any layer
+    means eval-mode decoding no longer matches train-mode behavior."""
+    stats = variables.get("batch_stats")
+    report: Dict[str, Any] = {"layers": {}, "max_var": 0.0, "max_abs_mean": 0.0,
+                              "n_layers": 0}
+    if not stats:
+        return report
+    flat = jax.tree_util.tree_flatten_with_path(stats)[0]
+    for path, leaf in flat:
+        key = "/".join(getattr(p, "key", str(p)) for p in path)
+        leaf = np.asarray(leaf, np.float64)
+        entry = report["layers"].setdefault(key.rsplit("/", 1)[0], {})
+        if key.endswith("var"):
+            entry["max_var"] = float(leaf.max())
+            report["max_var"] = max(report["max_var"], entry["max_var"])
+        elif key.endswith("mean"):
+            entry["max_abs_mean"] = float(np.abs(leaf).max())
+            report["max_abs_mean"] = max(report["max_abs_mean"],
+                                         entry["max_abs_mean"])
+    report["n_layers"] = len(report["layers"])
+    return report
+
+
+def diagnose(model, variables: dict, cond: np.ndarray, n_steps: int,
+             horizon: Optional[int] = None) -> Dict[str, Any]:
+    """Full stability report for one checkpoint.
+
+    ``horizon``: if given, additionally extrapolate the compounded gain to
+    that rollout length (the eval protocols run 40-95 steps)."""
+    rep = rollout_probe(model, variables, cond, n_steps)
+    rep["bn"] = bn_health(variables)
+    g = rep["gain_geomean"]
+    rep["horizon"] = horizon
+    if horizon:
+        rep["projected_growth_at_horizon"] = float(g ** horizon)
+    # one-line triage verdict with the measured thresholds from BASELINE.md
+    unstable = g > 1.15 or rep["bn"]["max_var"] > 1e6 or rep["s_mean_abs"] > 500
+    rep["verdict"] = "UNSTABLE" if unstable else "ok"
+    return rep
+
+
+def format_report(rep: Dict[str, Any]) -> str:
+    lines = [
+        f"integrator gain/step (geomean over {len(rep['gains'])} steps): "
+        f"{rep['gain_geomean']:.4f}  (final step: {rep['gain_final']:.4f})",
+        f"T-code norm: t0 {float(rep['t0_norm']):.4g} -> "
+        f"t{len(rep['gains'])} {float(rep['t_norms'][-1]):.4g}",
+        f"S code: mean|S| {float(rep['s_mean_abs']):.4g}, "
+        f"mean ||S|| {float(rep['s_norm']):.4g}",
+        f"BatchNorm ({rep['bn']['n_layers']} layers): max running var "
+        f"{rep['bn']['max_var']:.4g}, max |running mean| "
+        f"{rep['bn']['max_abs_mean']:.4g}",
+    ]
+    if rep.get("horizon"):
+        lines.append(f"projected T growth over {rep['horizon']}-step horizon: "
+                     f"{rep['projected_growth_at_horizon']:.4g}x")
+    lines.append(f"verdict: {rep['verdict']}")
+    return "\n".join(lines)

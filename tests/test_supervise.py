@@ -59,7 +59,10 @@ def test_supervise_restarts_on_stall(tmp_path, monkeypatch):
                        f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
     xp_dir = tmp_path / "xp"
     logs = []
-    rc = sup.supervise(["--xp_dir", str(xp_dir)], stall_timeout=8,
+    # stall_timeout must dominate interpreter start-up on a saturated host
+    # (the suite runs concurrently with training jobs): 8 s flaked when the
+    # resumed child needed >8 s just to reach its first print.
+    rc = sup.supervise(["--xp_dir", str(xp_dir)], stall_timeout=30,
                        grace=5, max_restarts=3, log_fn=logs.append,
                        entry="hang_entry", startup_grace=0)
     text = "\n".join(logs)
