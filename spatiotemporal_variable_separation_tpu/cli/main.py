@@ -27,11 +27,16 @@ def main(argv=None):
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler trace of the first "
                              "training steps to <xp_dir>/profile/.")
+    parser.add_argument("--monitor_stability", action="store_true",
+                        help="Probe integrator gain / BN running-stat health "
+                             "at every periodic checkpoint (early warning "
+                             "for the eval-mode runaway, BASELINE.md).")
     args = parser.parse_args(argv)
     resume = args.resume
     log_every = args.log_every
     profile = args.profile
-    del args.resume, args.log_every, args.profile
+    monitor_stability = args.monitor_stability
+    del args.resume, args.log_every, args.profile, args.monitor_stability
     cfg = config_from_args(args).validate()
     os.makedirs(cfg.xp_dir, exist_ok=True)
     # params.json dump (main.py:104-106) — eval CLIs reload this.  On
@@ -41,7 +46,8 @@ def main(argv=None):
     params_path = os.path.join(cfg.xp_dir, "params.json")
     if not (resume and os.path.isfile(params_path)):
         cfg.save(params_path)
-    run_training(cfg, resume=resume, log_every=log_every, profile=profile)
+    run_training(cfg, resume=resume, log_every=log_every, profile=profile,
+                 monitor_stability=monitor_stability)
 
 
 if __name__ == "__main__":

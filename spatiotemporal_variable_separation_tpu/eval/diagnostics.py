@@ -39,13 +39,13 @@ def _norms(x: jnp.ndarray) -> jnp.ndarray:
                             axis=tuple(range(1, x.ndim))))
 
 
-def rollout_probe(model, variables: dict, cond: np.ndarray,
-                  n_steps: int) -> Dict[str, Any]:
-    """Roll the integrator ``n_steps`` ahead of a conditioning batch and
-    measure gain/norm trajectories (no decoding — probe the latent path).
+def make_rollout_probe(model, n_steps: int):
+    """Build the jitted latent-path probe once (see :func:`rollout_probe`).
 
-    Returns per-step T-code norms (n_steps+1,), per-step gains (n_steps,),
-    their geometric mean, and S statistics."""
+    Returns ``probe(variables, cond) -> dict`` of device arrays; callers
+    that probe repeatedly (the training loop's ``--monitor_stability``)
+    must reuse this function so each checkpoint probe is a cache hit, not
+    a recompile (remote compiles cost minutes on the tunneled platform)."""
 
     @jax.jit
     def probe(variables, cond):
@@ -66,11 +66,27 @@ def rollout_probe(model, variables: dict, cond: np.ndarray,
             "t0_norm": mean_norms[0],
         }
 
-    out = jax.device_get(probe(variables, jnp.asarray(cond)))
+    return probe
+
+
+def finalize_probe(raw: Dict[str, Any]) -> Dict[str, Any]:
+    """Fetch a probe's device outputs and derive the scalar gain summary."""
+    out = dict(jax.device_get(raw))
     gains = np.asarray(out["gains"], np.float64)
     out["gain_geomean"] = float(np.exp(np.mean(np.log(np.maximum(gains, 1e-30)))))
     out["gain_final"] = float(gains[-1]) if gains.size else 1.0
     return out
+
+
+def rollout_probe(model, variables: dict, cond: np.ndarray,
+                  n_steps: int) -> Dict[str, Any]:
+    """Roll the integrator ``n_steps`` ahead of a conditioning batch and
+    measure gain/norm trajectories (no decoding — probe the latent path).
+
+    Returns per-step T-code norms (n_steps+1,), per-step gains (n_steps,),
+    their geometric mean, and S statistics."""
+    probe = make_rollout_probe(model, n_steps)
+    return finalize_probe(probe(variables, jnp.asarray(cond)))
 
 
 def bn_health(variables: dict) -> Dict[str, Any]:

@@ -38,7 +38,8 @@ from spatiotemporal_variable_separation_tpu.train.step import make_optimizer, ma
 def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                  log_every: int = 50, log_fn: Callable[[str], None] = print,
                  resume: bool = False, profile: bool = False,
-                 resume_state: Optional[TrainState] = None) -> TrainState:
+                 resume_state: Optional[TrainState] = None,
+                 monitor_stability: bool = False) -> TrainState:
     cfg = cfg.validate()
     if mesh is None:
         mesh = make_mesh(cfg.num_devices)
@@ -107,6 +108,48 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
     from spatiotemporal_variable_separation_tpu.utils.profiling import MetricsLogger
 
     mlog = MetricsLogger(cfg.xp_dir) if os.path.isdir(cfg.xp_dir) else None
+
+    # Optional early-warning probe at every periodic checkpoint: integrator
+    # gain + BN running-stat extrema (eval/diagnostics.py).  Catches the
+    # "train losses improve, eval collapses" runaway (BASELINE.md) while
+    # the run is still live instead of at eval time.  One jitted probe,
+    # compiled once; noise conditioning is sufficient for gain/BN health.
+    stability_check = None
+    slog = None
+    if monitor_stability:
+        import numpy as _np
+
+        from spatiotemporal_variable_separation_tpu.eval.diagnostics import (
+            bn_health,
+            finalize_probe,
+            make_rollout_probe,
+        )
+
+        _probe = make_rollout_probe(model, max(cfg.nt_pred, 10))
+        _probe_cond = _np.random.default_rng(0).standard_normal(
+            (8, cfg.nt_cond) + cfg.frame_shape).astype(_np.float32)
+        # own file: metrics.csv's column set is frozen at its first row
+        # (and parsed by cli.summarize), so stability scalars go next to it.
+        slog = (MetricsLogger(cfg.xp_dir, "stability.csv")
+                if os.path.isdir(cfg.xp_dir) else None)
+
+        def stability_check(state, epoch):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            rep = finalize_probe(_probe(variables, _probe_cond))
+            bn = bn_health(variables)
+            bad = (rep["gain_geomean"] > 1.15 or bn["max_var"] > 1e6
+                   or float(rep["s_mean_abs"]) > 500)
+            log_fn(f"stability @ epoch {epoch}: gain/step "
+                   f"{rep['gain_geomean']:.3f}, |S| {float(rep['s_mean_abs']):.3g}, "
+                   f"BN max var {bn['max_var']:.3g}"
+                   + ("  ** UNSTABLE **" if bad else ""))
+            if slog is not None:
+                slog.log(int(state.step), {
+                    "stability_gain": rep["gain_geomean"],
+                    "stability_s_mean_abs": float(rep["s_mean_abs"]),
+                    "stability_bn_max_var": bn["max_var"]})
     t_start = time.time()
 
     # Preemption safety: TPU pools send SIGTERM before reclaiming a VM.
@@ -202,6 +245,8 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                 # epoch-numbered like the reference's ov_Es_{N}.pt suffixes,
                 # so the eval CLIs' --epoch flag addresses them directly.
                 save_checkpoint(cfg.xp_dir, state, name=str(epoch + 1))
+                if stability_check is not None:
+                    stability_check(state, epoch + 1)
     except KeyboardInterrupt:
         log_fn("interrupted (Ctrl-C/SIGTERM) — saving final checkpoint")
     finally:
@@ -221,5 +266,7 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                    f"mid-step): {e}")
         if mlog is not None:
             mlog.close()
+        if slog is not None:
+            slog.close()
     log_fn(f"total time {time.time() - t_start:.1f}s")
     return state

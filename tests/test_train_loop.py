@@ -54,3 +54,28 @@ def test_run_training_wave_host_path(tmp_path):
     # 4 train files x (15 - 6 + 1) windows = 40 items -> 5 steps/epoch x 2.
     assert int(state.step) == 10
     assert os.path.isdir(xp_dir / "checkpoints" / "final")
+
+
+def test_run_training_monitor_stability(tmp_path):
+    from spatiotemporal_variable_separation_tpu.data.moving_mnist import synthetic_digits
+
+    data_dir = tmp_path / "data"
+    xp_dir = tmp_path / "xp"
+    data_dir.mkdir()
+    xp_dir.mkdir()
+    _write_idx_images(data_dir / "train-images-idx3-ubyte", synthetic_digits(32))
+
+    cfg = ExperimentConfig(data="mnist", architecture="dcgan", code_size_s=8,
+                           code_size_t=8, enc_hidden_size=4, dec_hidden_size=4,
+                           res_hidden_size=8, n_blocks=1, nt_cond=2, nt_pred=2,
+                           offset=2, mixing="mul", precision="f32", batch_size=8,
+                           epochs=2, steps_per_epoch=2, chkpt_interval=1,
+                           seed=0, xp_dir=str(xp_dir), data_dir=str(data_dir))
+    logs = []
+    run_training(cfg, log_every=0, log_fn=logs.append, monitor_stability=True)
+    stab = [l for l in logs if l.startswith("stability @")]
+    assert len(stab) == 2, logs  # one per periodic checkpoint
+    assert "gain/step" in stab[0] and "BN max var" in stab[0]
+    with open(os.path.join(str(xp_dir), "stability.csv")) as f:
+        text = f.read()
+    assert "stability_gain" in text and len(text.splitlines()) == 3
