@@ -78,6 +78,20 @@ def summarize(xp_dir: str, points: int = 8, log_fn=print) -> dict:
         log_fn(f"{int(r['step']):<10}  "
                + "  ".join(f"{r.get(k, float('nan')):>10.3e}" for k in keys))
     out["curve"] = curve
+    # stability probe trail (--monitor_stability runs write stability.csv)
+    stab_path = os.path.join(xp_dir, "stability.csv")
+    if os.path.isfile(stab_path):
+        srows = load_rows(stab_path)
+        if srows:
+            s = srows[-1]
+            out["stability"] = {k: s.get(k) for k in
+                                ("step", "stability_gain",
+                                 "stability_s_mean_abs",
+                                 "stability_bn_max_var")}
+            trail = " -> ".join(f"{r.get('stability_gain', float('nan')):.3f}"
+                                for r in srows[-min(len(srows), 6):])
+            log_fn(f"stability gain/step (last {min(len(srows), 6)} probes): "
+                   f"{trail}; BN max var {s.get('stability_bn_max_var', 0):.3g}")
     return out
 
 
