@@ -19,6 +19,9 @@ def main(argv=None):
         mesh_from_args,
     )
 
+    p.add_argument("--save_arrays", action="store_true",
+                   help="Archive cond/gt/pred npz for cli.visualize "
+                        "(capability superset; protocol unchanged).")
     add_devices_arg(p)
     add_bn_reestimate_arg(p)
     args = p.parse_args(argv)
@@ -29,7 +32,8 @@ def main(argv=None):
     means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch,
                      zones=args.zones,
                      reference_broadcast=args.reference_broadcast, mesh=mesh,
-                     bn_reestimate=args.bn_reestimate)
+                     bn_reestimate=args.bn_reestimate,
+                     save_arrays=args.save_arrays)
     print(f"MSE at t+10: {means['mse_t10']}")
     print(f"MSE at t+6: {means['mse_t6']}")
     print(f"SSIM at t+10: {means['ssim_t10']}")

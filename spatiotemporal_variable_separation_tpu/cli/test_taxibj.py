@@ -15,6 +15,9 @@ def main(argv=None):
         mesh_from_args,
     )
 
+    p.add_argument("--save_arrays", action="store_true",
+                   help="Archive cond/gt/pred npz for cli.visualize "
+                        "(capability superset; protocol unchanged).")
     add_devices_arg(p)
     add_bn_reestimate_arg(p)
     args = p.parse_args(argv)
@@ -23,7 +26,8 @@ def main(argv=None):
     from spatiotemporal_variable_separation_tpu.eval.taxibj import evaluate
 
     means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch, mesh=mesh,
-                     bn_reestimate=args.bn_reestimate)
+                     bn_reestimate=args.bn_reestimate,
+                     save_arrays=args.save_arrays)
     print(f"MSE at t+4: {means['mse_t4']}")
 
 

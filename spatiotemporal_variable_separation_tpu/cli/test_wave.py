@@ -14,13 +14,17 @@ def main(argv=None):
         mesh_from_args,
     )
 
+    p.add_argument("--save_arrays", action="store_true",
+                   help="Archive cond/gt/pred npz for cli.visualize "
+                        "(capability superset; protocol unchanged).")
     add_devices_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 
     from spatiotemporal_variable_separation_tpu.eval.wave import evaluate
 
-    means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch, mesh=mesh)
+    means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch,
+                     mesh=mesh, save_arrays=args.save_arrays)
     print(f"MSE at t+40: {means['mse_t40']}")
 
 

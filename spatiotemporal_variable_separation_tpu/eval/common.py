@@ -8,6 +8,7 @@ computation."""
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -203,3 +204,36 @@ def to_uint8_nchw_last(x: np.ndarray) -> np.ndarray:
     """Internal (B, T, H, W, C) floats -> the reference's archived
     (B, T, H, W, C) uint8 layout (they permute NCHW->NHWC before saving)."""
     return np.clip(np.asarray(x) * 255.0, 0, 255).astype(np.uint8)
+
+
+class FrameArchive:
+    """Bounded accumulator of (cond, gt, pred) batches -> npz archives.
+
+    The MNIST eval archives everything like the reference does
+    (``test/mnist/test.py:162-168``); the other protocols archive nothing
+    there.  This gives them an opt-in equivalent (capability superset):
+    the first ``cap`` sequences are kept as float16 and written in the
+    layout ``cli.visualize`` renders (predictions.npz / gt.npz /
+    cond.npz, arrays (B, T, H, W, C))."""
+
+    def __init__(self, cap: int = 64):
+        self.cap = cap
+        self._rows = {"cond": [], "gt": [], "predictions": []}
+        self._n = 0
+
+    def add(self, cond: np.ndarray, gt: np.ndarray, pred: np.ndarray) -> None:
+        take = min(self.cap - self._n, len(pred))
+        if take <= 0:
+            return
+        self._rows["cond"].append(np.asarray(cond[:take], np.float16))
+        self._rows["gt"].append(np.asarray(gt[:take], np.float16))
+        self._rows["predictions"].append(np.asarray(pred[:take], np.float16))
+        self._n += take
+
+    def save(self, xp_dir: str) -> None:
+        if not self._n:
+            return
+        for key, fname in [("predictions", "predictions.npz"),
+                           ("gt", "gt.npz"), ("cond", "cond.npz")]:
+            np.savez_compressed(os.path.join(xp_dir, fname),
+                                **{key: np.concatenate(self._rows[key])})

@@ -36,7 +36,8 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
              epoch: Optional[int] = None, zones: Sequence[int] = range(17, 21),
              max_batches: Optional[int] = None, model_bundle=None,
              test_set=None, reference_broadcast: bool = False,
-             mesh=None, bn_reestimate: int = 0) -> Dict[str, float]:
+             mesh=None, bn_reestimate: int = 0,
+             save_arrays: bool = False) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -53,6 +54,11 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
     horizon = (NT_PRED + nt_cond) if offset else NT_PRED
     bn_reestimate_pass(ev, test_set, min(batch_size, len(test_set)), horizon,
                        bn_reestimate)
+    archive = None
+    if save_arrays:
+        from spatiotemporal_variable_separation_tpu.eval.common import FrameArchive
+
+        archive = FrameArchive()
     all_mse, all_ssim = [], []
     for idx, n_real in batch_indices(len(test_set),
                                      min(batch_size, len(test_set)), max_batches):
@@ -80,6 +86,9 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
             target_phys = (target * std_norm + mu_norm) * std_clim + mu_clim
             err = (pred_phys - target_phys) ** 2
             all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
+            if archive is not None:  # physical-space fields
+                archive.add(cond[:n_real], target_phys[:n_real],
+                            pred_phys[:n_real])
             # reference renormalizes the *physical* fields by the per-zone
             # min/max of the normalized data (test.py:66-70) — kept as-is.
             p_n = (pred_phys - zmin) / (zmax - zmin)
@@ -112,6 +121,8 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
             ssim = ssim.reshape(b, tt, jj)
             all_ssim.append(ssim[:n_real])
 
+    if archive is not None:
+        archive.save(xp_dir)
     mse_array = np.concatenate(all_mse, axis=0)
     ssim_array = np.concatenate(all_ssim, axis=0)
     return {

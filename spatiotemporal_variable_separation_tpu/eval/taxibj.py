@@ -23,7 +23,8 @@ NT_PRED = 4
 def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
              epoch: Optional[int] = None, max_batches: Optional[int] = None,
              model_bundle=None, test_set=None, mesh=None,
-             bn_reestimate: int = 0) -> Dict[str, float]:
+             bn_reestimate: int = 0,
+             save_arrays: bool = False) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -40,6 +41,11 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
     horizon = (NT_PRED + nt_cond) if offset else NT_PRED
     bn_reestimate_pass(ev, test_set, min(batch_size, len(test_set)), horizon,
                        bn_reestimate)
+    archive = None
+    if save_arrays:
+        from spatiotemporal_variable_separation_tpu.eval.common import FrameArchive
+
+        archive = FrameArchive()
     all_mse = []
     for idx, n_real in batch_indices(len(test_set),
                                      min(batch_size, len(test_set)), max_batches):
@@ -52,5 +58,9 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
             pred = np.asarray(ev.forecast(cond, target.shape[1])[0])
         err = (pred.astype(np.float64) - target.astype(np.float64)) ** 2
         all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
+        if archive is not None:
+            archive.add(cond[:n_real], target[:n_real], pred[:n_real])
+    if archive is not None:
+        archive.save(xp_dir)
     mse_array = np.concatenate(all_mse, axis=0)
     return {"mse_t4": float(mse_array.mean(axis=0)[:NT_PRED].mean())}

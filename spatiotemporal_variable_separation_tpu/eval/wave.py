@@ -17,7 +17,8 @@ NT_PRED = 40
 
 def evaluate(xp_dir: str, data_dir: str, batch_size: int = 256,
              epoch: Optional[int] = None, max_batches: Optional[int] = None,
-             model_bundle=None, mesh=None) -> Dict[str, float]:
+             model_bundle=None, mesh=None,
+             save_arrays: bool = False) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -63,6 +64,12 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 256,
 
     subsample = getattr(ds, "rand_w", None) is not None
 
+    archive = None
+    if save_arrays and not subsample:  # pixel obs are not image-shaped
+        from spatiotemporal_variable_separation_tpu.eval.common import FrameArchive
+
+        archive = FrameArchive()
+
     all_mse = []
     for idx, n_real in batch_indices(len(ds), min(batch_size, len(ds)),
                                      max_batches):
@@ -76,5 +83,10 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 256,
             pred = ev.forecast(cond, NT_PRED)[0]
         mse = np.asarray(frame_mse(pred, target), np.float64)
         all_mse.append(mse[:n_real])
+        if archive is not None:
+            archive.add(np.asarray(cond[:n_real]), np.asarray(target[:n_real]),
+                        np.asarray(pred[:n_real]))
+    if archive is not None:
+        archive.save(xp_dir)
     mse_array = np.concatenate(all_mse, axis=0)
     return {"mse_t40": float(mse_array.mean(axis=0)[:NT_PRED].mean())}

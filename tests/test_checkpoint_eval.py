@@ -173,8 +173,14 @@ def test_eval_wave_protocol(tmp_path):
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.ones((2, 4, 64, 64, 1)), 2, train=False)
     means = eval_wave.evaluate(str(tmp_path), str(tmp_path), batch_size=8,
-                               max_batches=1, model_bundle=(model, variables, cfg))
+                               max_batches=1, model_bundle=(model, variables, cfg),
+                               save_arrays=True)
     assert np.isfinite(means["mse_t40"])
+    # opt-in archives land in the cli.visualize layout
+    with np.load(tmp_path / "predictions.npz") as d:
+        assert d["predictions"].ndim == 5  # (B, T, H, W, C)
+    assert os.path.exists(tmp_path / "gt.npz")
+    assert os.path.exists(tmp_path / "cond.npz")
 
 
 def test_graft_entry_single_and_multichip():
