@@ -34,16 +34,30 @@ def main(argv=None):
 
     from spatiotemporal_variable_separation_tpu import checkpoint as ckpt
     from spatiotemporal_variable_separation_tpu.eval.diagnostics import (
-        diagnose,
+        bn_health,
+        finalize_probe,
         format_report,
+        is_unstable,
+        make_rollout_probe,
+    )
+    from spatiotemporal_variable_separation_tpu.utils.compile_cache import (
+        enable_compilation_cache,
     )
 
-    names = ([None] if args.epoch != "all"
-             else ckpt.list_checkpoints(args.xp_dir))
-    if args.epoch not in (None, "all"):
+    enable_compilation_cache()  # repeated CLI runs skip the remote compile
+
+    if args.epoch == "all":
+        # training order: numeric epochs ascending, then 'final' (newest)
+        names = sorted(ckpt.list_checkpoints(args.xp_dir),
+                       key=lambda n: (n == "final",
+                                      int(n) if n.isdigit() else 0))
+    elif args.epoch is None:
+        names = [None]
+    else:
         names = [args.epoch]
 
     cond = None
+    probe = None  # built once: every checkpoint shares the model structure
     for name in names:
         model, variables, cfg = ckpt.load_for_eval(args.xp_dir, name)
         if cond is None:
@@ -63,7 +77,16 @@ def main(argv=None):
                 cond = rng.standard_normal(
                     (args.batch_size, cfg.nt_cond) + cfg.frame_shape
                 ).astype(np.float32)
-        rep = diagnose(model, variables, cond, args.n_steps, args.horizon)
+        if probe is None:
+            probe = make_rollout_probe(model, args.n_steps)
+        rep = finalize_probe(probe(variables, cond))
+        rep["bn"] = bn_health(variables)
+        rep["horizon"] = args.horizon
+        rep["projected_growth_at_horizon"] = float(
+            rep["gain_geomean"] ** args.horizon)
+        rep["verdict"] = ("UNSTABLE" if is_unstable(
+            rep["gain_geomean"], rep["bn"]["max_var"],
+            float(rep["s_mean_abs"])) else "ok")
         label = name or "latest"
         print(f"== checkpoint {label} ==")
         print(format_report(rep))

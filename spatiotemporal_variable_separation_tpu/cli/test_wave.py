@@ -16,7 +16,7 @@ def main(argv=None):
 
     p.add_argument("--save_arrays", action="store_true",
                    help="Archive cond/gt/pred npz for cli.visualize "
-                        "(capability superset; protocol unchanged).")
+                        "(first 64 sequences; protocol unchanged).")
     add_devices_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)

@@ -219,21 +219,33 @@ class FrameArchive:
     def __init__(self, cap: int = 64):
         self.cap = cap
         self._rows = {"cond": [], "gt": [], "predictions": []}
+        self._mse = []
         self._n = 0
 
-    def add(self, cond: np.ndarray, gt: np.ndarray, pred: np.ndarray) -> None:
+    def add(self, cond: np.ndarray, gt: np.ndarray, pred: np.ndarray,
+            mse: Optional[np.ndarray] = None) -> None:
+        """``mse``: per-sequence scalars for the same batch — written to
+        results.npz so ``cli.visualize --rank`` can pick across the MSE
+        range (restricted to the archived sequences, by construction)."""
         take = min(self.cap - self._n, len(pred))
         if take <= 0:
             return
         self._rows["cond"].append(np.asarray(cond[:take], np.float16))
         self._rows["gt"].append(np.asarray(gt[:take], np.float16))
         self._rows["predictions"].append(np.asarray(pred[:take], np.float16))
+        if mse is not None:
+            self._mse.append(np.asarray(mse[:take], np.float64))
         self._n += take
 
-    def save(self, xp_dir: str) -> None:
+    def save(self, xp_dir: str, log_fn=print) -> None:
         if not self._n:
             return
         for key, fname in [("predictions", "predictions.npz"),
                            ("gt", "gt.npz"), ("cond", "cond.npz")]:
             np.savez_compressed(os.path.join(xp_dir, fname),
                                 **{key: np.concatenate(self._rows[key])})
+        if self._mse:
+            np.savez_compressed(os.path.join(xp_dir, "results.npz"),
+                                mse=np.concatenate(self._mse))
+        log_fn(f"archived {self._n} sequence(s) (cap {self.cap}) to {xp_dir} "
+               "— render with cli.visualize")

@@ -127,10 +127,19 @@ def diagnose(model, variables: dict, cond: np.ndarray, n_steps: int,
     rep["horizon"] = horizon
     if horizon:
         rep["projected_growth_at_horizon"] = float(g ** horizon)
-    # one-line triage verdict with the measured thresholds from BASELINE.md
-    unstable = g > 1.15 or rep["bn"]["max_var"] > 1e6 or rep["s_mean_abs"] > 500
+    unstable = is_unstable(g, rep["bn"]["max_var"], float(rep["s_mean_abs"]))
     rep["verdict"] = "UNSTABLE" if unstable else "ok"
     return rep
+
+
+def is_unstable(gain_geomean: float, bn_max_var: float,
+                s_mean_abs: float) -> bool:
+    """Triage predicate with the measured thresholds from BASELINE.md's
+    runaway investigation (gain 1.43 at the first bad checkpoint, BN var
+    2.9e29 at collapse, |S| ~500 at the bf16-quantization knee).  Single
+    source of truth for both the diagnose CLI and the in-training
+    ``--monitor_stability`` hook."""
+    return gain_geomean > 1.15 or bn_max_var > 1e6 or s_mean_abs > 500
 
 
 def format_report(rep: Dict[str, Any]) -> str:

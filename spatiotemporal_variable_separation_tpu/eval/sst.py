@@ -85,10 +85,12 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
             pred_phys = (pred * std_norm + mu_norm) * std_clim + mu_clim
             target_phys = (target * std_norm + mu_norm) * std_clim + mu_clim
             err = (pred_phys - target_phys) ** 2
-            all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
+            seq_mse = err.mean(axis=(2, 3, 4))[:n_real]
+            all_mse.append(seq_mse)
             if archive is not None:  # physical-space fields
                 archive.add(cond[:n_real], target_phys[:n_real],
-                            pred_phys[:n_real])
+                            pred_phys[:n_real],
+                            mse=seq_mse[:, :NT_PRED].mean(axis=1))
             # reference renormalizes the *physical* fields by the per-zone
             # min/max of the normalized data (test.py:66-70) — kept as-is.
             p_n = (pred_phys - zmin) / (zmax - zmin)
@@ -110,6 +112,15 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
             t_phys = (t_ * sn + mn) * sc + mc
             err = (p_phys - t_phys) ** 2
             all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
+            if archive is not None:
+                # archives always hold the intended *diagonal* physical
+                # fields (the broadcast cross is a metric quirk, not a
+                # renderable sequence).
+                d_pred = (pred * std_norm + mu_norm) * std_clim + mu_clim
+                d_tgt = (target * std_norm + mu_norm) * std_clim + mu_clim
+                d_mse = ((d_pred - d_tgt) ** 2).mean(axis=(2, 3, 4))[:n_real]
+                archive.add(cond[:n_real], d_tgt[:n_real], d_pred[:n_real],
+                            mse=d_mse[:, :NT_PRED].mean(axis=1))
             p_r = (p_phys - zmin) / (zmax - zmin)
             t_r = (t_phys - zmin) / (zmax - zmin)
             b, tt, jj, hh, ww = p_r.shape

@@ -57,9 +57,11 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
         else:
             pred = np.asarray(ev.forecast(cond, target.shape[1])[0])
         err = (pred.astype(np.float64) - target.astype(np.float64)) ** 2
-        all_mse.append(err.mean(axis=(2, 3, 4))[:n_real])
+        seq_mse = err.mean(axis=(2, 3, 4))[:n_real]
+        all_mse.append(seq_mse)
         if archive is not None:
-            archive.add(cond[:n_real], target[:n_real], pred[:n_real])
+            archive.add(cond[:n_real], target[:n_real], pred[:n_real],
+                        mse=seq_mse[:, :NT_PRED].mean(axis=1))
     if archive is not None:
         archive.save(xp_dir)
     mse_array = np.concatenate(all_mse, axis=0)

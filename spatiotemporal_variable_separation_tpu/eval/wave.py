@@ -85,8 +85,12 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 256,
         all_mse.append(mse[:n_real])
         if archive is not None:
             archive.add(np.asarray(cond[:n_real]), np.asarray(target[:n_real]),
-                        np.asarray(pred[:n_real]))
+                        np.asarray(pred[:n_real]),
+                        mse=mse[:n_real, :NT_PRED].mean(axis=1))
     if archive is not None:
         archive.save(xp_dir)
+    elif save_arrays and subsample:
+        print("save_arrays: skipped — WaveEq-100 pixel observations are "
+              "not image-shaped; archives are written for full grids only")
     mse_array = np.concatenate(all_mse, axis=0)
     return {"mse_t40": float(mse_array.mean(axis=0)[:NT_PRED].mean())}

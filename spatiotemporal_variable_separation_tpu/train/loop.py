@@ -122,6 +122,7 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
         from spatiotemporal_variable_separation_tpu.eval.diagnostics import (
             bn_health,
             finalize_probe,
+            is_unstable,
             make_rollout_probe,
         )
 
@@ -139,8 +140,8 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                 variables["batch_stats"] = state.batch_stats
             rep = finalize_probe(_probe(variables, _probe_cond))
             bn = bn_health(variables)
-            bad = (rep["gain_geomean"] > 1.15 or bn["max_var"] > 1e6
-                   or float(rep["s_mean_abs"]) > 500)
+            bad = is_unstable(rep["gain_geomean"], bn["max_var"],
+                              float(rep["s_mean_abs"]))
             log_fn(f"stability @ epoch {epoch}: gain/step "
                    f"{rep['gain_geomean']:.3f}, |S| {float(rep['s_mean_abs']):.3g}, "
                    f"BN max var {bn['max_var']:.3g}"
@@ -247,6 +248,11 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                 save_checkpoint(cfg.xp_dir, state, name=str(epoch + 1))
                 if stability_check is not None:
                     stability_check(state, epoch + 1)
+            elif stability_check is not None and cfg.chkpt_interval is None:
+                # no periodic checkpoints -> probe every epoch (the flag
+                # must never be a silent no-op on exactly the long runs
+                # it was built for).
+                stability_check(state, epoch + 1)
     except KeyboardInterrupt:
         log_fn("interrupted (Ctrl-C/SIGTERM) — saving final checkpoint")
     finally:
