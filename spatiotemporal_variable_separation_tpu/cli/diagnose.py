@@ -34,10 +34,8 @@ def main(argv=None):
 
     from spatiotemporal_variable_separation_tpu import checkpoint as ckpt
     from spatiotemporal_variable_separation_tpu.eval.diagnostics import (
-        bn_health,
-        finalize_probe,
+        diagnose,
         format_report,
-        is_unstable,
         make_rollout_probe,
     )
     from spatiotemporal_variable_separation_tpu.utils.compile_cache import (
@@ -79,14 +77,8 @@ def main(argv=None):
                 ).astype(np.float32)
         if probe is None:
             probe = make_rollout_probe(model, args.n_steps)
-        rep = finalize_probe(probe(variables, cond))
-        rep["bn"] = bn_health(variables)
-        rep["horizon"] = args.horizon
-        rep["projected_growth_at_horizon"] = float(
-            rep["gain_geomean"] ** args.horizon)
-        rep["verdict"] = ("UNSTABLE" if is_unstable(
-            rep["gain_geomean"], rep["bn"]["max_var"],
-            float(rep["s_mean_abs"])) else "ok")
+        rep = diagnose(model, variables, cond, args.n_steps, args.horizon,
+                       probe=probe, synthetic_cond=args.data_dir is None)
         label = name or "latest"
         print(f"== checkpoint {label} ==")
         print(format_report(rep))

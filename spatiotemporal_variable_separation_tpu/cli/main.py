@@ -16,8 +16,6 @@ def main(argv=None):
         enable_compilation_cache,
     )
 
-    enable_compilation_cache()
-
     parser = build_parser()
     parser.add_argument("--resume", action="store_true",
                         help="Resume from the latest checkpoint in xp_dir "
@@ -32,6 +30,9 @@ def main(argv=None):
                              "at every periodic checkpoint (early warning "
                              "for the eval-mode runaway, BASELINE.md).")
     args = parser.parse_args(argv)
+    # after parsing: --help / flag typos must not pay (or hang on) the
+    # tunneled TPU backend init that the cache's backend probe triggers.
+    enable_compilation_cache()
     resume = args.resume
     log_every = args.log_every
     profile = args.profile

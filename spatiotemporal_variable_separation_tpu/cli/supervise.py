@@ -43,7 +43,7 @@ def supervise(train_args, stall_timeout: float = 600.0,
               max_restarts: int = 20, grace: float = 15.0,
               log_fn=print,
               entry: str = "spatiotemporal_variable_separation_tpu.cli.main",
-              startup_grace: float = 420.0, max_failures: int = 0,
+              startup_grace: float = 1500.0, max_failures: int = 0,
               deadline_min: float | None = None) -> int:
     """Run training under stall supervision; returns the final exit code.
 
@@ -107,6 +107,20 @@ def supervise(train_args, stall_timeout: float = 600.0,
                     last_output = time.monotonic()
                     emit(chunk.decode(errors="replace"))
                     continue
+                # EOF with the child still alive (stdout closed during a
+                # slow teardown): select() would now return instantly every
+                # iteration — stop watching the fd and poll the process
+                # instead of busy-spinning on the shared host core.
+                sel.unregister(child.stdout)
+                try:
+                    child.wait(timeout=max(stall_timeout, grace))
+                except subprocess.TimeoutExpired:
+                    log_fn(f"[supervise] stdout closed but pid {child.pid} "
+                           "did not exit — killing")
+                    child.kill()
+                    child.wait()
+                sel.register(child.stdout, selectors.EVENT_READ)
+                continue
             now = time.monotonic()
             if (now - last_output > stall_timeout
                     and now - started > startup_grace):
@@ -159,7 +173,7 @@ def main(argv=None):
     p.add_argument("--entry", type=str, metavar="MODULE",
                    default="spatiotemporal_variable_separation_tpu.cli.main",
                    help="python -m entry module to supervise")
-    p.add_argument("--startup_grace", type=float, metavar="SEC", default=420.0,
+    p.add_argument("--startup_grace", type=float, metavar="SEC", default=1500.0,
                    help="never kill within this long of launch (remote "
                         "compile is silent; killing mid-compile wedges the "
                         "tunnel)")

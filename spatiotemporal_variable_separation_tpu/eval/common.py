@@ -111,7 +111,16 @@ class Evaluator:
         for cond in cond_batches:
             cond = jnp.asarray(cond)
             if self._batch_shard is not None:
-                cond = self._pad(cond)
+                # TRIM (not pad) to a mesh multiple: _pad's duplicated rows
+                # would fold into the batch mean/var and bias the refreshed
+                # running stats, making --devices N runs differ from
+                # single-device ones.  Dropping remainder rows keeps the
+                # estimate unbiased (batches here are random draws).
+                n_dev = self.mesh.devices.size
+                keep = cond.shape[0] - (cond.shape[0] % n_dev)
+                if keep == 0:
+                    continue
+                cond = jax.device_put(cond[:keep], self._batch_shard)
             new_stats = jit_update(variables, cond)
             variables = dict(variables, batch_stats=new_stats)
             n += 1

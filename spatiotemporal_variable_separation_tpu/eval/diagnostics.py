@@ -116,30 +116,44 @@ def bn_health(variables: dict) -> Dict[str, Any]:
 
 
 def diagnose(model, variables: dict, cond: np.ndarray, n_steps: int,
-             horizon: Optional[int] = None) -> Dict[str, Any]:
+             horizon: Optional[int] = None, probe=None,
+             synthetic_cond: bool = False) -> Dict[str, Any]:
     """Full stability report for one checkpoint.
 
     ``horizon``: if given, additionally extrapolate the compounded gain to
-    that rollout length (the eval protocols run 40-95 steps)."""
-    rep = rollout_probe(model, variables, cond, n_steps)
+    that rollout length (the eval protocols run 40-95 steps).
+    ``probe``: a prebuilt :func:`make_rollout_probe` — pass it when
+    diagnosing many checkpoints so each call is a jit cache hit instead of
+    a fresh (minutes-long, on the tunneled platform) compile.
+    ``synthetic_cond``: set when ``cond`` is noise rather than real data;
+    the |S|-scale term is then excluded from the verdict (code scales on
+    out-of-distribution input are indicative only)."""
+    if probe is None:
+        probe = make_rollout_probe(model, n_steps)
+    rep = finalize_probe(probe(variables, jnp.asarray(cond)))
     rep["bn"] = bn_health(variables)
     g = rep["gain_geomean"]
     rep["horizon"] = horizon
     if horizon:
         rep["projected_growth_at_horizon"] = float(g ** horizon)
-    unstable = is_unstable(g, rep["bn"]["max_var"], float(rep["s_mean_abs"]))
+    unstable = is_unstable(g, rep["bn"]["max_var"],
+                           None if synthetic_cond
+                           else float(rep["s_mean_abs"]))
     rep["verdict"] = "UNSTABLE" if unstable else "ok"
     return rep
 
 
 def is_unstable(gain_geomean: float, bn_max_var: float,
-                s_mean_abs: float) -> bool:
+                s_mean_abs: Optional[float] = None) -> bool:
     """Triage predicate with the measured thresholds from BASELINE.md's
     runaway investigation (gain 1.43 at the first bad checkpoint, BN var
     2.9e29 at collapse, |S| ~500 at the bf16-quantization knee).  Single
     source of truth for both the diagnose CLI and the in-training
-    ``--monitor_stability`` hook."""
-    return gain_geomean > 1.15 or bn_max_var > 1e6 or s_mean_abs > 500
+    ``--monitor_stability`` hook.  Pass ``s_mean_abs=None`` when S was
+    measured on synthetic (noise) conditioning — that threshold was
+    calibrated on real-data probes and does not transfer."""
+    return (gain_geomean > 1.15 or bn_max_var > 1e6
+            or (s_mean_abs is not None and s_mean_abs > 500))
 
 
 def format_report(rep: Dict[str, Any]) -> str:

@@ -140,8 +140,9 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                 variables["batch_stats"] = state.batch_stats
             rep = finalize_probe(_probe(variables, _probe_cond))
             bn = bn_health(variables)
-            bad = is_unstable(rep["gain_geomean"], bn["max_var"],
-                              float(rep["s_mean_abs"]))
+            # noise conditioning -> |S| scale is indicative only, so the
+            # verdict rests on gain and BN health (is_unstable docstring).
+            bad = is_unstable(rep["gain_geomean"], bn["max_var"], None)
             log_fn(f"stability @ epoch {epoch}: gain/step "
                    f"{rep['gain_geomean']:.3f}, |S| {float(rep['s_mean_abs']):.3g}, "
                    f"BN max var {bn['max_var']:.3g}"
