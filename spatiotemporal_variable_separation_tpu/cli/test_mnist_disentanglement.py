@@ -31,6 +31,10 @@ def main(argv=None):
     print("Results:")
     for k, v in means.items():
         print(k, v)
+    from spatiotemporal_variable_separation_tpu.eval.common import write_eval_json
+
+    write_eval_json(args.xp_dir, f"mnist_swap_t{args.nt_pred}", means,
+                    epoch=args.epoch, bn_reestimate=args.bn_reestimate)
 
 
 if __name__ == "__main__":

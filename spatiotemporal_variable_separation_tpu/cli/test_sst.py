@@ -38,6 +38,11 @@ def main(argv=None):
     print(f"MSE at t+6: {means['mse_t6']}")
     print(f"SSIM at t+10: {means['ssim_t10']}")
     print(f"SSIM at t+6: {means['ssim_t6']}")
+    from spatiotemporal_variable_separation_tpu.eval.common import write_eval_json
+
+    write_eval_json(args.xp_dir, "sst", means, epoch=args.epoch,
+                    bn_reestimate=args.bn_reestimate,
+                    reference_broadcast=args.reference_broadcast)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,10 @@ def main(argv=None):
                      bn_reestimate=args.bn_reestimate,
                      save_arrays=args.save_arrays)
     print(f"MSE at t+4: {means['mse_t4']}")
+    from spatiotemporal_variable_separation_tpu.eval.common import write_eval_json
+
+    write_eval_json(args.xp_dir, "taxibj", means, epoch=args.epoch,
+                    bn_reestimate=args.bn_reestimate)
 
 
 if __name__ == "__main__":

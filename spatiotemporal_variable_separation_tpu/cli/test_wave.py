@@ -26,6 +26,9 @@ def main(argv=None):
     means = evaluate(args.xp_dir, args.data_dir, args.batch_size, args.epoch,
                      mesh=mesh, save_arrays=args.save_arrays)
     print(f"MSE at t+40: {means['mse_t40']}")
+    from spatiotemporal_variable_separation_tpu.eval.common import write_eval_json
+
+    write_eval_json(args.xp_dir, "wave", means, epoch=args.epoch)
 
 
 if __name__ == "__main__":

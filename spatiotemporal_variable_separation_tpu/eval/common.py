@@ -258,3 +258,32 @@ class FrameArchive:
                                 mse=np.concatenate(self._mse))
         log_fn(f"archived {self._n} sequence(s) (cap {self.cap}) to {xp_dir} "
                "— render with cli.visualize")
+
+
+def write_eval_json(xp_dir: str, protocol: str, means: Dict[str, float],
+                    **extra) -> str:
+    """Merge a protocol's metric means into ``<xp_dir>/evals.json``.
+
+    The reference prints metric means to stdout and archives only raw
+    per-sequence arrays (``test/mnist/test.py:152-157``); re-deriving the
+    headline numbers later means re-opening npz archives.  Every eval CLI
+    here additionally records ``{protocol: {metric: value, ...}}`` in one
+    merged JSON per experiment dir, so results survive the terminal and
+    can be aggregated across runs (atomic replace; last run of a protocol
+    wins)."""
+    import json
+    import time
+
+    path = os.path.join(xp_dir, "evals.json")
+    try:
+        with open(path) as f:
+            record = json.load(f)
+    except (FileNotFoundError, ValueError):
+        record = {}
+    record[protocol] = {**{k: float(v) for k, v in means.items()},
+                        **extra, "unix_time": time.time()}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+    return path

@@ -193,3 +193,27 @@ def test_graft_entry_single_and_multichip():
     out = jax.eval_shape(fn, *args)  # jittable/traceable check
     assert out[0].shape[1] == 15
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_write_eval_json_merges(tmp_path):
+    import json
+
+    from spatiotemporal_variable_separation_tpu.eval.common import write_eval_json
+
+    write_eval_json(str(tmp_path), "wave", {"mse_t40": np.float32(1e-4)})
+    write_eval_json(str(tmp_path), "mnist_t10",
+                    {"mse": 0.01, "psnr": 20.0, "ssim": 0.9}, epoch=25)
+    # last run of the same protocol wins; other protocols are preserved
+    path = write_eval_json(str(tmp_path), "wave", {"mse_t40": 2e-4})
+    with open(path) as f:
+        record = json.load(f)
+    assert set(record) == {"wave", "mnist_t10"}
+    assert record["wave"]["mse_t40"] == pytest.approx(2e-4)
+    assert record["mnist_t10"]["epoch"] == 25
+    assert isinstance(record["wave"]["mse_t40"], float)  # np scalars coerced
+    # a corrupt file is tolerated (fresh start), not fatal
+    with open(path, "w") as f:
+        f.write("{broken")
+    write_eval_json(str(tmp_path), "wave", {"mse_t40": 3e-4})
+    with open(path) as f:
+        assert json.load(f)["wave"]["mse_t40"] == pytest.approx(3e-4)
