@@ -50,6 +50,20 @@ def summarize(xp_dir: str, points: int = 8, log_fn=print) -> dict:
         out["checkpoints"] = names
         log_fn(f"checkpoints: {len(names)} ({', '.join(names[:12])}"
                + (", ..." if len(names) > 12 else "") + ")")
+    # eval protocol results (eval CLIs merge into evals.json); read before
+    # the metrics.csv early-out — an eval'd dir may have no training log.
+    evals_path = os.path.join(xp_dir, "evals.json")
+    if os.path.isfile(evals_path):
+        try:
+            with open(evals_path) as f:
+                out["evals"] = json.load(f)
+        except ValueError:
+            out["evals"] = {}
+        for proto, rec in sorted(out["evals"].items()):
+            metrics = "  ".join(f"{k}={v:.4g}" for k, v in sorted(rec.items())
+                                if isinstance(v, (int, float))
+                                and k not in ("unix_time", "epoch"))
+            log_fn(f"eval {proto}: {metrics}")
     if not os.path.isfile(metrics_path):
         log_fn("no metrics.csv")
         return out
@@ -95,12 +109,51 @@ def summarize(xp_dir: str, points: int = 8, log_fn=print) -> dict:
     return out
 
 
+def summarize_all(root: str, log_fn=print) -> list:
+    """One-line-per-experiment digest of every xp dir under ``root``.
+
+    An "experiment dir" is any directory (depth 1) containing params.json.
+    Each row: name, recipe, precision, steps logged, median throughput, and
+    every evals.json headline metric. Returns the machine-readable rows."""
+    rows = []
+    names = sorted(n for n in os.listdir(root)
+                   if os.path.isfile(os.path.join(root, n, "params.json")))
+    if not names:
+        log_fn(f"no experiment dirs under {root}")
+        return rows
+    for name in names:
+        xp = os.path.join(root, name)
+        out = summarize(xp, log_fn=lambda *_: None)
+        cfg = out.get("config", {})
+        row = {"name": name, **out}
+        rows.append(row)
+        head = (f"{name:<16} {cfg.get('data', '?')}/{cfg.get('architecture', '?')}"
+                f" prec={cfg.get('precision', '?')}"
+                f" steps={out.get('steps_logged', 0)}")
+        if "samples_per_sec_median" in out:
+            head += f" {out['samples_per_sec_median']:.0f} samples/s"
+        log_fn(head)
+        for proto, rec in sorted(out.get("evals", {}).items()):
+            metrics = "  ".join(f"{k}={v:.4g}" for k, v in sorted(rec.items())
+                                if isinstance(v, (int, float))
+                                and k not in ("unix_time", "epoch"))
+            log_fn(f"  {proto}: {metrics}")
+    return rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="varsep-tpu run summary")
-    p.add_argument("--xp_dir", type=str, metavar="DIR", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--xp_dir", type=str, metavar="DIR",
+                   help="digest one experiment directory")
+    g.add_argument("--root", type=str, metavar="DIR",
+                   help="aggregate every experiment directory under DIR")
     p.add_argument("--points", type=int, metavar="N", default=8)
     args = p.parse_args(argv)
-    summarize(args.xp_dir, args.points)
+    if args.root:
+        summarize_all(args.root)
+    else:
+        summarize(args.xp_dir, args.points)
 
 
 if __name__ == "__main__":

@@ -34,3 +34,43 @@ def test_summarize_empty_dir(tmp_path):
     out = summarize(str(tmp_path), log_fn=lines.append)
     assert "curve" not in out
     assert any("no metrics.csv" in l for l in lines)
+
+
+def test_summarize_shows_evals(tmp_path):
+    (tmp_path / "params.json").write_text(json.dumps({"data": "wave"}))
+    (tmp_path / "evals.json").write_text(json.dumps(
+        {"wave": {"mse_t40": 7.9e-05, "epoch": None, "unix_time": 1.0}}))
+    lines = []
+    out = summarize(str(tmp_path), log_fn=lines.append)
+    assert out["evals"]["wave"]["mse_t40"] == 7.9e-05
+    text = "\n".join(lines)
+    assert "eval wave: mse_t40=7.9e-05" in text
+    assert "unix_time" not in text
+
+
+def test_summarize_all_aggregates(tmp_path):
+    from spatiotemporal_variable_separation_tpu.cli.summarize import summarize_all
+
+    for name, data in (("a_wave", "wave"), ("b_mnist", "mnist")):
+        xp = tmp_path / name
+        xp.mkdir()
+        (xp / "params.json").write_text(json.dumps(
+            {"data": data, "architecture": "mlp", "precision": "f32"}))
+    (tmp_path / "a_wave" / "evals.json").write_text(json.dumps(
+        {"wave": {"mse_t40": 1e-4, "unix_time": 1.0}}))
+    (tmp_path / "not_an_xp").mkdir()  # no params.json: skipped
+    lines = []
+    rows = summarize_all(str(tmp_path), log_fn=lines.append)
+    assert [r["name"] for r in rows] == ["a_wave", "b_mnist"]
+    text = "\n".join(lines)
+    assert "a_wave" in text and "wave/mlp" in text
+    assert "mse_t40=0.0001" in text
+    assert "not_an_xp" not in text
+
+
+def test_summarize_all_empty_root(tmp_path):
+    from spatiotemporal_variable_separation_tpu.cli.summarize import summarize_all
+
+    lines = []
+    assert summarize_all(str(tmp_path), log_fn=lines.append) == []
+    assert any("no experiment dirs" in l for l in lines)
