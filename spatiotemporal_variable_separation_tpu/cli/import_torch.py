@@ -15,7 +15,6 @@ unpickling the saved modules needs the reference's classes on sys.path.
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main(argv=None):
@@ -32,7 +31,6 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     # Pure host-side conversion: never touch (or wait for) an accelerator.
-    os.environ.setdefault("XLA_FLAGS", "")
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -28,6 +28,16 @@ def load_rows(path: str):
     return rows
 
 
+def _format_eval_line(rec: dict) -> str:
+    """Display the metric means of one evals.json protocol record.
+
+    ``write_eval_json`` stores metric means as floats and run metadata
+    (epoch, bn_reestimate, zones, ...) with their original types, so
+    "float-valued and not unix_time" selects exactly the metrics."""
+    return "  ".join(f"{k}={v:.4g}" for k, v in sorted(rec.items())
+                     if type(v) is float and k != "unix_time")
+
+
 def summarize(xp_dir: str, points: int = 8, log_fn=print) -> dict:
     """Digest one experiment dir; returns the machine-readable summary."""
     params_path = os.path.join(xp_dir, "params.json")
@@ -60,10 +70,7 @@ def summarize(xp_dir: str, points: int = 8, log_fn=print) -> dict:
         except ValueError:
             out["evals"] = {}
         for proto, rec in sorted(out["evals"].items()):
-            metrics = "  ".join(f"{k}={v:.4g}" for k, v in sorted(rec.items())
-                                if isinstance(v, (int, float))
-                                and k not in ("unix_time", "epoch"))
-            log_fn(f"eval {proto}: {metrics}")
+            log_fn(f"eval {proto}: {_format_eval_line(rec)}")
     if not os.path.isfile(metrics_path):
         log_fn("no metrics.csv")
         return out
@@ -109,7 +116,7 @@ def summarize(xp_dir: str, points: int = 8, log_fn=print) -> dict:
     return out
 
 
-def summarize_all(root: str, log_fn=print) -> list:
+def summarize_all(root: str, points: int = 8, log_fn=print) -> list:
     """One-line-per-experiment digest of every xp dir under ``root``.
 
     An "experiment dir" is any directory (depth 1) containing params.json.
@@ -123,7 +130,11 @@ def summarize_all(root: str, log_fn=print) -> list:
         return rows
     for name in names:
         xp = os.path.join(root, name)
-        out = summarize(xp, log_fn=lambda *_: None)
+        try:
+            out = summarize(xp, points=points, log_fn=lambda *_: None)
+        except Exception as e:  # e.g. params.json truncated by a killed writer
+            log_fn(f"{name:<16} unreadable: {e}")
+            continue
         cfg = out.get("config", {})
         row = {"name": name, **out}
         rows.append(row)
@@ -134,10 +145,7 @@ def summarize_all(root: str, log_fn=print) -> list:
             head += f" {out['samples_per_sec_median']:.0f} samples/s"
         log_fn(head)
         for proto, rec in sorted(out.get("evals", {}).items()):
-            metrics = "  ".join(f"{k}={v:.4g}" for k, v in sorted(rec.items())
-                                if isinstance(v, (int, float))
-                                and k not in ("unix_time", "epoch"))
-            log_fn(f"  {proto}: {metrics}")
+            log_fn(f"  {proto}: {_format_eval_line(rec)}")
     return rows
 
 
@@ -151,7 +159,7 @@ def main(argv=None):
     p.add_argument("--points", type=int, metavar="N", default=8)
     args = p.parse_args(argv)
     if args.root:
-        summarize_all(args.root)
+        summarize_all(args.root, args.points)
     else:
         summarize(args.xp_dir, args.points)
 

@@ -40,8 +40,12 @@ def main(argv=None):
     print(f"SSIM at t+6: {means['ssim_t6']}")
     from spatiotemporal_variable_separation_tpu.eval.common import write_eval_json
 
-    write_eval_json(args.xp_dir, "sst", means, epoch=args.epoch,
-                    bn_reestimate=args.bn_reestimate,
+    # Non-standard zone sets get their own protocol key so they never
+    # overwrite the reference protocol's (zones 17-20) record.
+    protocol = ("sst" if args.zones == list(range(17, 21)) else
+                "sst_zones_" + "-".join(str(z) for z in args.zones))
+    write_eval_json(args.xp_dir, protocol, means, epoch=args.epoch,
+                    zones=args.zones, bn_reestimate=args.bn_reestimate,
                     reference_broadcast=args.reference_broadcast)
 
 

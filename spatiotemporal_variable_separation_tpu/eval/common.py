@@ -269,21 +269,45 @@ def write_eval_json(xp_dir: str, protocol: str, means: Dict[str, float],
     headline numbers later means re-opening npz archives.  Every eval CLI
     here additionally records ``{protocol: {metric: value, ...}}`` in one
     merged JSON per experiment dir, so results survive the terminal and
-    can be aggregated across runs (atomic replace; last run of a protocol
-    wins)."""
+    can be aggregated across runs (last run of a protocol wins).
+
+    Metric means are stored as floats; ``extra`` run metadata (epoch,
+    bn_reestimate, ...) keeps its original types — display layers
+    (``cli.summarize``) rely on this to tell metrics from metadata.
+    A lock file serializes concurrent eval CLIs on the same xp_dir so the
+    read-merge-write cannot drop the other protocol's record."""
     import json
     import time
 
     path = os.path.join(xp_dir, "evals.json")
+    lock = path + ".lock"
+    deadline = time.time() + 10.0
+    fd = None
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.time() > deadline:  # stale lock from a killed writer
+                break
+            time.sleep(0.1)
     try:
-        with open(path) as f:
-            record = json.load(f)
-    except (FileNotFoundError, ValueError):
-        record = {}
-    record[protocol] = {**{k: float(v) for k, v in means.items()},
-                        **extra, "unix_time": time.time()}
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(record, f, indent=2, sort_keys=True)
-    os.replace(tmp, path)
+        try:
+            with open(path) as f:
+                record = json.load(f)
+        except (FileNotFoundError, ValueError):
+            record = {}
+        record[protocol] = {**{k: float(v) for k, v in means.items()},
+                            **extra, "unix_time": time.time()}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True)
+        os.replace(tmp, path)
+    finally:
+        if fd is not None:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
     return path

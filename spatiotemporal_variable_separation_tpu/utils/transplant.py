@@ -39,7 +39,8 @@ framework does not allocate the dead parameters, so torch modules named
 
 Caveat: MLP encoders flatten torch ``(B, T, C, H, W)`` channel-major and
 this framework flattens ``(B, T, H, W, C)``; the flattenings coincide only
-for single-channel data (WaveEq, the only MLP recipe).
+for single-channel data (WaveEq, the only MLP recipe) —
+``import_reference_checkpoint`` rejects multi-channel MLP configs.
 """
 
 from __future__ import annotations
@@ -240,6 +241,9 @@ def import_reference_checkpoint(ref_xp_dir: str, out_xp_dir: str,
     and BN statistic, and writes ``out_xp_dir`` with our ``params.json`` +
     an Orbax checkpoint — directly usable by every eval CLI and the
     serving surface.  Returns the checkpoint path."""
+    import dataclasses
+    import json
+
     import jax
 
     from spatiotemporal_variable_separation_tpu import checkpoint as ckpt
@@ -250,8 +254,28 @@ def import_reference_checkpoint(ref_xp_dir: str, out_xp_dir: str,
     from spatiotemporal_variable_separation_tpu.train.state import create_train_state
     from spatiotemporal_variable_separation_tpu.train.step import make_optimizer
 
-    cfg = ExperimentConfig.from_json_file(
-        os.path.join(ref_xp_dir, "params.json")).validate()
+    params_path = os.path.join(ref_xp_dir, "params.json")
+    with open(params_path) as f:
+        raw_params = json.load(f)
+    cfg = ExperimentConfig.from_dict(raw_params)
+    if "precision" not in raw_params:
+        # Reference params.json has no precision flag (var_sep/options.py);
+        # the modules were trained in torch f32, so the imported experiment
+        # must evaluate in f32 — inheriting this framework's bf16 default
+        # would break the forward parity the importer promises.
+        cfg = dataclasses.replace(cfg, precision="f32")
+        log_fn("reference params.json has no 'precision' — pinning f32 "
+               "(torch training precision)")
+    cfg = cfg.validate()
+    if cfg.architecture == "mlp" and cfg.channels > 1:
+        # Torch MLP encoders flatten (C, H, W) channel-major; this framework
+        # flattens (H, W, C).  The orders coincide only for C == 1, so a
+        # multi-channel MLP transplant would silently permute every input.
+        raise ValueError(
+            "cannot import an mlp-architecture experiment on "
+            f"{cfg.channels}-channel data: the torch channel-major flatten "
+            "order differs from this framework's channels-last order "
+            "(see module docstring)")
     modules = load_reference_modules(ref_xp_dir, epoch, reference_root)
     model = build_separable_network(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1)

@@ -317,6 +317,41 @@ def test_import_epoch_snapshot_and_missing_file(tmp_path):
     _check_encoder(model, variables, refs["Et"], "Et", x, 2e-5)
 
 
+def test_import_pins_f32_when_reference_params_lack_precision(tmp_path):
+    # A real reference params.json has no 'precision' key (var_sep/options.py);
+    # the importer must not inherit this framework's bf16 default — the torch
+    # modules were trained in f32.
+    cfg = ExperimentConfig(data="wave", architecture="mlp", mixing="mul",
+                           code_size_s=8, code_size_t=8, enc_hidden_size=24,
+                           dec_hidden_size=24, res_hidden_size=16, n_blocks=1,
+                           enc_n_layers=2, dec_n_layers=2, nt_cond=3, nt_pred=3,
+                           offset=3, precision="f32")
+    ref_dir, refs = _build_reference_xp(tmp_path, cfg)
+    params = json.load(open(ref_dir / "params.json"))
+    del params["precision"]
+    (ref_dir / "params.json").write_text(json.dumps(params))
+    model, variables, out_cfg, logs = _import_and_load(tmp_path, ref_dir)
+    assert out_cfg.precision == "f32"
+    assert any("pinning f32" in l for l in logs)
+
+
+def test_import_rejects_multichannel_mlp(tmp_path):
+    # Torch flattens (C,H,W) channel-major, we flatten (H,W,C): shapes match
+    # but inputs would be permuted — must refuse instead of silently importing.
+    cfg = ExperimentConfig(data="taxibj", architecture="mlp", mixing="mul",
+                           code_size_s=8, code_size_t=8, enc_hidden_size=24,
+                           dec_hidden_size=24, res_hidden_size=16, n_blocks=1,
+                           enc_n_layers=2, dec_n_layers=2, nt_cond=2, nt_pred=2,
+                           offset=2, precision="f32")
+    ref_dir = tmp_path / "mlp2c"
+    ref_dir.mkdir()
+    cfg.validate().save(str(ref_dir / "params.json"))
+    with pytest.raises(ValueError, match="channel-major"):
+        import_reference_checkpoint(str(ref_dir), str(tmp_path / "out"),
+                                    reference_root=REFERENCE,
+                                    log_fn=lambda *_: None)
+
+
 def test_import_cli_entry(tmp_path):
     cfg = ExperimentConfig(data="wave", architecture="mlp", mixing="mul",
                            code_size_s=8, code_size_t=8, enc_hidden_size=24,

@@ -74,3 +74,34 @@ def test_summarize_all_empty_root(tmp_path):
     lines = []
     assert summarize_all(str(tmp_path), log_fn=lines.append) == []
     assert any("no experiment dirs" in l for l in lines)
+
+
+def test_summarize_all_tolerates_corrupt_params(tmp_path):
+    # A truncated params.json (killed writer) must not abort the aggregation.
+    from spatiotemporal_variable_separation_tpu.cli.summarize import summarize_all
+
+    ok = tmp_path / "good"
+    ok.mkdir()
+    (ok / "params.json").write_text(json.dumps({"data": "wave"}))
+    bad = tmp_path / "broken"
+    bad.mkdir()
+    (bad / "params.json").write_text('{"data": "wa')  # truncated
+    lines = []
+    rows = summarize_all(str(tmp_path), log_fn=lines.append)
+    assert [r["name"] for r in rows] == ["good"]
+    assert any("broken" in l and "unreadable" in l for l in lines)
+
+
+def test_summarize_hides_run_metadata_from_metric_lines(tmp_path):
+    # evals.json extras (ints/bools/lists) are metadata, not metrics.
+    (tmp_path / "params.json").write_text(json.dumps({"data": "sst"}))
+    (tmp_path / "evals.json").write_text(json.dumps(
+        {"sst": {"mse_t10": 1.5, "epoch": None, "bn_reestimate": 0,
+                 "reference_broadcast": False, "zones": [17, 18],
+                 "unix_time": 1.0}}))
+    lines = []
+    summarize(str(tmp_path), log_fn=lines.append)
+    text = "\n".join(lines)
+    assert "mse_t10=1.5" in text
+    for meta in ("bn_reestimate", "reference_broadcast", "zones", "unix_time"):
+        assert meta not in text
