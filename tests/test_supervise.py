@@ -143,11 +143,21 @@ def test_supervise_deadline_stops_cooperatively(tmp_path, monkeypatch):
         "        sys.exit(0)\n")
     monkeypatch.setenv("PYTHONPATH",
                        f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
-    logs = []
-    rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=600,
-                       log_fn=logs.append, entry="steady_entry",
-                       startup_grace=0, deadline_min=3.0 / 60.0)
-    text = "\n".join(logs)
+    # The stub prints only after installing its SIGTERM handler, so once
+    # 'stub started' shows up in the logs the cooperative path is
+    # guaranteed.  On a heavily loaded host the interpreter can take longer
+    # than the deadline to boot (SIGTERM then kills it pre-handler — a pure
+    # test race, impossible at production deadlines of 45+ min): retry with
+    # a longer deadline until the child demonstrably booted.
+    for deadline_sec in (3.0, 10.0, 30.0):
+        logs = []
+        rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=600,
+                           log_fn=logs.append, entry="steady_entry",
+                           startup_grace=0, deadline_min=deadline_sec / 60.0)
+        text = "\n".join(logs)
+        if "stub started" in text:
+            break
+    assert "stub started" in text, text
     assert rc == 0, text
     assert "deadline reached" in text, text
     assert "final checkpoint saved" in text, text
