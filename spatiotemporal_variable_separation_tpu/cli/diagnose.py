@@ -26,7 +26,14 @@ def main(argv=None):
                    help="Integrator steps to probe.")
     p.add_argument("--horizon", type=int, metavar="N", default=95,
                    help="Eval-protocol rollout length for projected growth.")
+    from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_platform_arg,
+        apply_platform,
+    )
+
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     import dataclasses
 

@@ -8,6 +8,8 @@ import os
 
 def main(argv=None):
     from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_platform_arg,
+        apply_platform,
         build_parser,
         config_from_args,
     )
@@ -29,7 +31,10 @@ def main(argv=None):
                         help="Probe integrator gain / BN running-stat health "
                              "at every periodic checkpoint (early warning "
                              "for the eval-mode runaway, BASELINE.md).")
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
+    # platform first: the cache's backend probe initializes a backend.
+    apply_platform(args)
     # after parsing: --help / flag typos must not pay (or hang on) the
     # tunneled TPU backend init that the cache's backend probe triggers.
     enable_compilation_cache()
@@ -37,7 +42,8 @@ def main(argv=None):
     log_every = args.log_every
     profile = args.profile
     monitor_stability = args.monitor_stability
-    del args.resume, args.log_every, args.profile, args.monitor_stability
+    del args.resume, args.log_every, args.profile, args.monitor_stability, \
+        args.platform
     cfg = config_from_args(args).validate()
     os.makedirs(cfg.xp_dir, exist_ok=True)
     # params.json dump (main.py:104-106) — eval CLIs reload this.  On

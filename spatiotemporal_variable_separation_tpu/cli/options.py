@@ -152,6 +152,25 @@ def add_devices_arg(parser) -> None:
                              "devices (default: single device).")
 
 
+def add_platform_arg(parser) -> None:
+    """Shared --platform flag: force the JAX platform in-process."""
+    parser.add_argument("--platform", type=str, choices=("cpu",), default=None,
+                        help="Force the JAX platform, e.g. score an eval on "
+                             "the host CPU while the accelerator is held by a "
+                             "training run (TPU programs are one-process-at-a"
+                             "-time). In-process because a sitecustomize may "
+                             "pin JAX_PLATFORMS, overriding the env var.")
+
+
+def apply_platform(args) -> None:
+    """Apply --platform; must run before the first JAX backend initializes
+    (jax.config wins over a sitecustomize-pinned JAX_PLATFORMS env var)."""
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
 def add_bn_reestimate_arg(parser) -> None:
     """Shared --bn_reestimate flag for eval CLIs (BN recalibration)."""
     parser.add_argument(
@@ -163,7 +182,10 @@ def add_bn_reestimate_arg(parser) -> None:
 
 
 def mesh_from_args(args):
-    """Build the 1-D data mesh requested by --devices (None = no mesh)."""
+    """Build the 1-D data mesh requested by --devices (None = no mesh).
+    Applies --platform first (the mesh would otherwise initialize the
+    default backend)."""
+    apply_platform(args)
     if getattr(args, "devices", None):
         from spatiotemporal_variable_separation_tpu.parallel.mesh import make_mesh
 

@@ -18,10 +18,12 @@ def main(argv=None):
     p.add_argument("--iters", type=int, metavar="N", default=50)
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_devices_arg,
+        add_platform_arg,
         mesh_from_args,
     )
 
     add_devices_arg(p)
+    add_platform_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 

@@ -14,10 +14,12 @@ def main(argv=None):
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_bn_reestimate_arg,
         add_devices_arg,
+        add_platform_arg,
         mesh_from_args,
     )
 
     add_devices_arg(p)
+    add_platform_arg(p)
     add_bn_reestimate_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)

@@ -12,6 +12,7 @@ def main(argv=None):
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_bn_reestimate_arg,
         add_devices_arg,
+        add_platform_arg,
         mesh_from_args,
     )
 
@@ -19,6 +20,7 @@ def main(argv=None):
                    help="Archive cond/gt/pred npz for cli.visualize "
                         "(first 64 sequences; protocol unchanged).")
     add_devices_arg(p)
+    add_platform_arg(p)
     add_bn_reestimate_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)

@@ -11,6 +11,7 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, metavar="BATCH", default=256)
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_devices_arg,
+        add_platform_arg,
         mesh_from_args,
     )
 
@@ -18,6 +19,7 @@ def main(argv=None):
                    help="Archive cond/gt/pred npz for cli.visualize "
                         "(first 64 sequences; protocol unchanged).")
     add_devices_arg(p)
+    add_platform_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 

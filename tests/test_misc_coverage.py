@@ -86,3 +86,29 @@ def test_evaluator_swap_with_skipco():
     assert fc.shape == (2, 4, 64, 64, 1)
     fc2, _ = ev.forecast(np.asarray(cond), 4, init_s_code=s_full)
     np.testing.assert_allclose(np.asarray(fc), np.asarray(fc2), atol=1e-6)
+
+
+def test_platform_flag_plumbing():
+    # --platform cpu must parse on every CLI that offers it and apply
+    # before the mesh/backend initializes (in the test env the platform is
+    # already cpu, so applying it is an idempotent no-op we can assert on).
+    import argparse
+
+    from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_devices_arg,
+        add_platform_arg,
+        apply_platform,
+        mesh_from_args,
+    )
+
+    p = argparse.ArgumentParser()
+    add_devices_arg(p)
+    add_platform_arg(p)
+    args = p.parse_args(["--platform", "cpu", "--devices", "2"])
+    apply_platform(args)
+    assert jax.config.jax_platforms == "cpu"
+    mesh = mesh_from_args(args)  # applies platform, then builds the mesh
+    assert mesh.devices.size == 2
+    assert all(d.platform == "cpu" for d in mesh.devices.flat)
+    with pytest.raises(SystemExit):
+        p.parse_args(["--platform", "tpu"])  # only cpu is a valid override
