@@ -18,13 +18,20 @@ class Chairs:
     max_length = 62
 
     def __init__(self, train: bool, data_root: str, nt_cond: int,
-                 seq_len: int = 15, image_size: int = 64):
+                 seq_len: int = 15, image_size: int = 64,
+                 cache_frames: bool = False):
         assert seq_len <= self.max_length
         assert image_size == 64
         self.train = train
         self.nt_cond = nt_cond
         self.seq_len = seq_len
         self.image_size = image_size
+        # Decoded-PNG cache: consecutive dataset indices cycle over OBJECTS
+        # (index % n_objects picks the chair), so each render is re-decoded
+        # ~seq_len times over a full pass — the dominant cost of the
+        # disentanglement eval.  Opt-in and unbounded: cache only splits
+        # that fit (the 15% test split is ~160 MB of uint8 frames).
+        self._frame_cache: Optional[dict] = {} if cache_frames else None
         self.data_root = os.path.join(data_root, "rendered_chairs")
         sequences = sorted(os.listdir(self.data_root))
         if "all_chair_names.mat" in sequences:
@@ -52,9 +59,19 @@ class Chairs:
         assert index == 0
         frames = []
         for i in range(id_st, id_st + self.seq_len):
-            fname = os.path.join(self.data_root, obj_dir, "renders",
-                                 f"{i % self.max_length}.png")
-            frames.append(np.asarray(Image.open(fname))[..., :3])
+            i %= self.max_length
+            if self._frame_cache is not None:
+                frame = self._frame_cache.get((obj_dir, i))
+                if frame is None:
+                    fname = os.path.join(self.data_root, obj_dir, "renders",
+                                         f"{i}.png")
+                    frame = np.asarray(Image.open(fname))[..., :3]
+                    self._frame_cache[(obj_dir, i)] = frame
+            else:
+                fname = os.path.join(self.data_root, obj_dir, "renders",
+                                     f"{i}.png")
+                frame = np.asarray(Image.open(fname))[..., :3]
+            frames.append(frame)
         return np.asarray(frames)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:

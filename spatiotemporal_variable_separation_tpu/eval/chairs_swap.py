@@ -29,9 +29,9 @@ class SwapDataset(Chairs):
     """(``test_disentanglement.py:36-49``)"""
 
     def __init__(self, train, data_root, nt_cond, rng: np.random.RandomState,
-                 seq_len=20, image_size=64):
+                 seq_len=20, image_size=64, cache_frames=False):
         super().__init__(train, data_root, nt_cond, seq_len=seq_len,
-                         image_size=image_size)
+                         image_size=image_size, cache_frames=cache_frames)
         self._rng = rng
 
     def __getitem__(self, index):
@@ -60,8 +60,10 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
     nt_test = nt_cond + nt_pred
     rng = np.random.RandomState(test_seed)
 
-    test_set = Chairs(False, data_dir, nt_cond, seq_len=nt_test)
-    swap_set = SwapDataset(False, data_dir, nt_cond, rng, seq_len=nt_test)
+    test_set = Chairs(False, data_dir, nt_cond, seq_len=nt_test,
+                      cache_frames=True)
+    swap_set = SwapDataset(False, data_dir, nt_cond, rng, seq_len=nt_test,
+                           cache_frames=True)
 
     bn_reestimate_pass(ev, test_set, batch_size, nt_test, bn_reestimate)
     results = defaultdict(list)

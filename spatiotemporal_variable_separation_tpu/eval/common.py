@@ -174,10 +174,21 @@ def bn_reestimate_pass(ev: Evaluator, dataset, batch_size: int,
     return ev.reestimate_batch_stats(batches(), n_forecast)
 
 
-def batch_indices(n: int, batch_size: int, max_batches: Optional[int] = None):
+def batch_indices(n: int, batch_size: int, max_batches: Optional[int] = None,
+                  progress_every: float = 30.0):
     """Yield (indices, n_real) with the last batch padded to ``batch_size``
     by repeating the final index, so every batch has a static shape and the
-    jitted forecast never retraces; callers slice results to ``n_real``."""
+    jitted forecast never retraces; callers slice results to ``n_real``.
+
+    Emits a progress line after the first completed batch (which marks the
+    end of the silent remote compile) and then at most every
+    ``progress_every`` seconds — heavy protocols (95-frame MNIST, PNG-backed
+    chairs) otherwise run for an hour with no output, which is
+    indistinguishable from a hung tunnel (CLAUDE.md).  Set
+    ``progress_every=0`` to disable."""
+    import sys
+    import time
+
     if n <= 0:
         raise ValueError("evaluation dataset is empty (0 items) — check the "
                          "data directory / split / horizon configuration")
@@ -186,6 +197,8 @@ def batch_indices(n: int, batch_size: int, max_batches: Optional[int] = None):
     n_batches = (n + batch_size - 1) // batch_size
     if max_batches:
         n_batches = min(n_batches, max_batches)
+    t0 = time.monotonic()
+    last_emit = None
     for b in range(n_batches):
         lo = b * batch_size
         hi = min(lo + batch_size, n)
@@ -193,6 +206,14 @@ def batch_indices(n: int, batch_size: int, max_batches: Optional[int] = None):
         n_real = len(idx)
         idx = idx + [idx[-1]] * (batch_size - n_real)
         yield idx, n_real
+        # control is back: the caller finished scoring batch b.
+        now = time.monotonic()
+        if progress_every and (last_emit is None
+                               or now - last_emit > progress_every
+                               or b == n_batches - 1):
+            print(f"[eval] batch {b + 1}/{n_batches} done "
+                  f"({now - t0:.0f}s elapsed)", file=sys.stderr, flush=True)
+            last_emit = now
 
 
 def pixel_metrics(pred: jnp.ndarray, gt: jnp.ndarray,

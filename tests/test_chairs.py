@@ -76,3 +76,16 @@ def test_chairs_swap_eval(chairs_dir, tmp_path):
                      model_bundle=(model, dict(variables), cfg))
     assert set(means) == {"mse", "psnr", "ssim"}
     assert np.isfinite(means["mse"])
+
+
+def test_chairs_frame_cache_identical(chairs_dir):
+    plain = Chairs(False, chairs_dir, nt_cond=3, seq_len=8)
+    cached = Chairs(False, chairs_dir, nt_cond=3, seq_len=8,
+                    cache_frames=True)
+    for i in (0, 1, len(plain) - 1):
+        for a, b in zip(plain[i], cached[i]):
+            np.testing.assert_array_equal(a, b)
+    # second pass hits the cache and must stay identical
+    for a, b in zip(plain[0], cached[0]):
+        np.testing.assert_array_equal(a, b)
+    assert len(cached._frame_cache) > 0
