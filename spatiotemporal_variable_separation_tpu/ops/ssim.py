@@ -34,11 +34,19 @@ def gaussian_window(filter_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 def _depthwise_valid(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     c = x.shape[-1]
+    x = x.astype(jnp.float32)
     kernel = jnp.broadcast_to(window[:, :, None, None],
-                              window.shape + (1, c)).astype(x.dtype)
+                              window.shape + (1, c)).astype(jnp.float32)
+    # Precision.HIGHEST: on TPU the default conv precision is bf16 MXU
+    # passes, and the E[x^2]-mu^2 variance cancellation downstream amplifies
+    # that to metric-breaking error (measured: mean SSIM 1.05 — above the
+    # mathematical bound of 1 — on a chairs eval that scores 0.76 in exact
+    # arithmetic).  An 11x11 depthwise window is negligible compute; always
+    # run it exact.
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim_map(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0,

@@ -81,3 +81,25 @@ def test_mse_psnr():
     np.testing.assert_allclose(np.asarray(mse), 0.25)
     np.testing.assert_allclose(np.asarray(psnr_from_mse(mse)),
                                10 * np.log10(1 / 0.25))
+
+
+def test_ssim_bounded_and_f32_compute_with_bf16_inputs():
+    # SSIM is mathematically <= 1 (Cauchy-Schwarz on the weighted moments);
+    # the TPU default bf16 conv precision violated this through the
+    # E[x^2]-mu^2 cancellation (measured mean 1.05 on a real eval).  The
+    # moment convs must compute in f32 regardless of input dtype and at
+    # Precision.HIGHEST on accelerators.
+    rng = np.random.default_rng(3)
+    base = rng.random((64, 64, 3)).astype(np.float32)
+    gt = np.stack([np.roll(base, i, axis=1) for i in range(4)])
+    pred = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1).astype(np.float32)
+    exact = np.asarray(ssim(jnp.asarray(gt), jnp.asarray(pred),
+                            reduction="none"))
+    assert exact.max() <= 1.0 + 1e-5
+    lowp = np.asarray(ssim(jnp.asarray(gt, jnp.bfloat16),
+                           jnp.asarray(pred, jnp.bfloat16), reduction="none"))
+    assert lowp.dtype == np.float32
+    # bf16 inputs quantize the pixels themselves, but the moment math must
+    # stay exact: no above-one blowup and close to the f32-input result.
+    assert lowp.max() <= 1.0 + 1e-5
+    np.testing.assert_allclose(lowp, exact, atol=0.05)
