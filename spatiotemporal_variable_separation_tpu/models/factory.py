@@ -38,11 +38,14 @@ def compute_dtype(precision: str) -> Dtype:
 
 def integrator_dtype(precision: str) -> Dtype:
     """``mixed`` keeps the temporal integrator in f32 while conv stacks run
-    bf16 on the MXU: the round-2 MNIST run showed the integrator's spectral
-    radius is where bf16 gradient quantization bites first (BASELINE.md
-    "bf16 destabilizes" section); the integrator is a tiny fraction of the
-    step's FLOPs, so f32 there costs ~nothing. EXPERIMENTAL: the full
-    bf16-vs-mixed-vs-f32 dynamics A/B on TPU is a round-3 item."""
+    bf16 on the MXU. MEASURED (round-2 A/B, 50-epoch MNIST/DCGAN run on
+    v5e): mixed reproduces the full-bf16 BN-masked runaway (integrator gain
+    1.9x/step, |S| 334, BN running var 1.3e10 — BASELINE.md) AND shows no
+    throughput gain over f32 (28.3 vs 28.4 s/epoch; the step is
+    memory-bound and BN's f32 round-trips dominate). The runaway is driven
+    by the bf16 conv path's gradient quantization, not the integrator's
+    arithmetic. Kept selectable for experimentation; use f32 for the
+    MNIST recipe."""
     return jnp.float32 if precision in ("f32", "mixed") else jnp.bfloat16
 
 
