@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
     opt_p.add_argument("--lamb_s", type=float, metavar="LAMBDA", default=45)
     opt_p.add_argument("--lamb_t", type=float, metavar="LAMBDA", default=0.001)
     opt_p.add_argument("--lamb_pred", type=float, metavar="LAMBDA", default=45)
+    opt_p.add_argument("--lamb_s_norm", type=float, metavar="LAMBDA", default=0.0,
+                       help="Opt-in 5th loss term (NOT in the reference "
+                            "objective): weight on mean(S^2), constraining "
+                            "the pre-BatchNorm scale the 4-term objective "
+                            "leaves free (the bf16 eval-mode runaway, "
+                            "BASELINE.md). 0 = exact reference objective.")
     opt_p.add_argument("--batch_size", type=int, metavar="SIZE", default=128)
     opt_p.add_argument("--lr", type=float, metavar="LR", default=4e-4)
     opt_p.add_argument("--beta1", type=float, metavar="BETA", default=0.9)

@@ -88,6 +88,12 @@ class ExperimentConfig:
     device_datagen: bool = True  # on-device synthesis where supported (mnist)
     seed: int = 0
     precision: str = "bf16"
+    # Opt-in 5th loss term (NOT in the reference objective): weight on
+    # mean(S^2).  The 4-term objective leaves pre-BatchNorm scale
+    # unconstrained, which under bf16 lets |S| and the integrator gain run
+    # away while train-mode BN masks it (BASELINE.md "bf16 destabilizes").
+    # 0.0 (default) = exact reference objective.
+    lamb_s_norm: float = 0.0
     decode_mode: str = "stepwise"
     remat: bool = False
     num_devices: Optional[int] = None  # None = all visible devices

@@ -157,6 +157,7 @@ class SeparableNetwork(nn.Module):
         lamb_pred: float,
         average_tloss: bool = False,
         train: bool = True,
+        lamb_s_norm: float = 0.0,
     ):
         """Four-term objective of the reference trainer (``train.py:38-149``).
 
@@ -212,4 +213,13 @@ class SeparableNetwork(nn.Module):
                  + lamb_t * t_reg)
         metrics = {"loss": total, "ae": ae, "s_inv": s_inv,
                    "forecast": forecast, "t_reg": t_reg}
+        if lamb_s_norm:
+            # Opt-in extension (NOT in the reference, train.py:38-149):
+            # penalize the S scale the 4-term objective leaves free — the
+            # bf16 runaway grows |S| unchecked behind train-mode BN
+            # (BASELINE.md).  Static python float: 0.0 traces away.
+            s_norm = sum(jnp.sum(a.astype(f32) ** 2)
+                         for a in old_leaves) / count
+            total = total + lamb_s_norm * s_norm
+            metrics = {**metrics, "loss": total, "s_norm": s_norm}
         return total, metrics

@@ -91,7 +91,7 @@ def _make_step_fn(model, cfg: ExperimentConfig, tx):
             (loss, metrics), mutated = model.apply(
                 variables, cond, target, t_random, cfg.offset,
                 cfg.lamb_ae, cfg.lamb_s, lamb_t, cfg.lamb_pred,
-                cfg.average_tloss, True,
+                cfg.average_tloss, True, lamb_s_norm=cfg.lamb_s_norm,
                 method=model.compute_losses, mutable=["batch_stats"])
             return loss, (metrics, mutated.get("batch_stats", state.batch_stats))
 

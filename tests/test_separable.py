@@ -182,3 +182,39 @@ def test_forecast_horizon_with_offset():
     fc, _, _, _ = model.apply(variables, cond, cfg.nt_pred + cfg.offset,
                               train=False, method=model.get_forecast)
     assert fc.shape[1] == cfg.nt_cond + cfg.nt_pred
+
+
+def test_s_norm_regularizer_opt_in():
+    # lamb_s_norm=0 (default): exact 4-term objective, no s_norm metric.
+    # lamb_s_norm=w: total grows by exactly w * mean(S^2) and the metric
+    # appears; gradients flow into Es through the new term.
+    cfg = mlp_cfg()
+    model, variables, cond = _setup(cfg)
+    target = jnp.asarray(_rand((2, cfg.nt_pred) + cfg.frame_shape, seed=7),
+                         jnp.float32)
+    base_total, base_metrics = _losses(model, variables, cond, target,
+                                       t_random=5, offset=4)
+    assert "s_norm" not in base_metrics
+    w = 0.37
+    total, metrics = model.apply(
+        variables, cond, target, jnp.int32(5), 4,
+        1.0, 1.0, 1.0, 1.0, False, False, lamb_s_norm=w,
+        method=model.compute_losses)
+    assert "s_norm" in metrics
+    s_code = model.apply(variables, cond, train=False, method=model.encode_s)
+    expected = float(np.mean(np.asarray(s_code, np.float32) ** 2))
+    assert float(metrics["s_norm"]) == pytest.approx(expected, rel=1e-5)
+    assert float(total) == pytest.approx(float(base_total) + w * expected,
+                                         rel=1e-5)
+
+    def loss_of_params(params):
+        t, _ = model.apply(
+            {**variables, "params": params}, cond, target, jnp.int32(5), 4,
+            0.0, 0.0, 0.0, 0.0, False, False, lamb_s_norm=1.0,
+            method=model.compute_losses)
+        return t
+
+    grads = jax.grad(loss_of_params)(variables["params"])
+    es_grad = jax.tree_util.tree_reduce(
+        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads["Es"], 0.0)
+    assert es_grad > 0.0
