@@ -19,7 +19,7 @@ class Chairs:
 
     def __init__(self, train: bool, data_root: str, nt_cond: int,
                  seq_len: int = 15, image_size: int = 64,
-                 cache_frames: bool = False):
+                 cache_frames=False):
         assert seq_len <= self.max_length
         assert image_size == 64
         self.train = train
@@ -30,8 +30,12 @@ class Chairs:
         # (index % n_objects picks the chair), so each render is re-decoded
         # ~seq_len times over a full pass — the dominant cost of the
         # disentanglement eval.  Opt-in and unbounded: cache only splits
-        # that fit (the 15% test split is ~160 MB of uint8 frames).
-        self._frame_cache: Optional[dict] = {} if cache_frames else None
+        # that fit (the 15% test split is ~160 MB of uint8 frames).  Pass a
+        # dict to share one cache between datasets over the same files.
+        if isinstance(cache_frames, dict):
+            self._frame_cache: Optional[dict] = cache_frames
+        else:
+            self._frame_cache = {} if cache_frames else None
         self.data_root = os.path.join(data_root, "rendered_chairs")
         sequences = sorted(os.listdir(self.data_root))
         if "all_chair_names.mat" in sequences:
@@ -57,20 +61,23 @@ class Chairs:
         if chosen_id_st is not None:
             id_st = chosen_id_st
         assert index == 0
+
+        def decode(i):
+            fname = os.path.join(self.data_root, obj_dir, "renders",
+                                 f"{i}.png")
+            # contiguous copy: the [..., :3] view would otherwise pin the
+            # full RGBA buffer in the cache and stack from strided memory.
+            return np.ascontiguousarray(np.asarray(Image.open(fname))[..., :3])
+
         frames = []
         for i in range(id_st, id_st + self.seq_len):
             i %= self.max_length
             if self._frame_cache is not None:
                 frame = self._frame_cache.get((obj_dir, i))
                 if frame is None:
-                    fname = os.path.join(self.data_root, obj_dir, "renders",
-                                         f"{i}.png")
-                    frame = np.asarray(Image.open(fname))[..., :3]
-                    self._frame_cache[(obj_dir, i)] = frame
+                    frame = self._frame_cache[(obj_dir, i)] = decode(i)
             else:
-                fname = os.path.join(self.data_root, obj_dir, "renders",
-                                     f"{i}.png")
-                frame = np.asarray(Image.open(fname))[..., :3]
+                frame = decode(i)
             frames.append(frame)
         return np.asarray(frames)
 

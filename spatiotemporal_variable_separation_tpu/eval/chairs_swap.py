@@ -60,10 +60,11 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
     nt_test = nt_cond + nt_pred
     rng = np.random.RandomState(test_seed)
 
+    shared_cache: dict = {}  # both datasets read the same test-split files
     test_set = Chairs(False, data_dir, nt_cond, seq_len=nt_test,
-                      cache_frames=True)
+                      cache_frames=shared_cache)
     swap_set = SwapDataset(False, data_dir, nt_cond, rng, seq_len=nt_test,
-                           cache_frames=True)
+                           cache_frames=shared_cache)
 
     bn_reestimate_pass(ev, test_set, batch_size, nt_test, bn_reestimate)
     results = defaultdict(list)

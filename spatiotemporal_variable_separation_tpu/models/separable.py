@@ -217,9 +217,11 @@ class SeparableNetwork(nn.Module):
             # Opt-in extension (NOT in the reference, train.py:38-149):
             # penalize the S scale the 4-term objective leaves free — the
             # bf16 runaway grows |S| unchecked behind train-mode BN
-            # (BASELINE.md).  Static python float: 0.0 traces away.
-            s_norm = sum(jnp.sum(a.astype(f32) ** 2)
-                         for a in old_leaves) / count
+            # (BASELINE.md).  The S *code* only (not skip feature maps,
+            # whose element count would otherwise dominate the mean —
+            # matching diagnose's s_mean_abs probe).  Static python float:
+            # 0.0 traces away.
+            s_norm = jnp.mean(s_old.astype(f32) ** 2)
             total = total + lamb_s_norm * s_norm
             metrics = {**metrics, "loss": total, "s_norm": s_norm}
         return total, metrics

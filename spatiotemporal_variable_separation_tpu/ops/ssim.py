@@ -34,7 +34,6 @@ def gaussian_window(filter_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 def _depthwise_valid(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     c = x.shape[-1]
-    x = x.astype(jnp.float32)
     kernel = jnp.broadcast_to(window[:, :, None, None],
                               window.shape + (1, c)).astype(jnp.float32)
     # Precision.HIGHEST: on TPU the default conv precision is bf16 MXU
@@ -42,7 +41,8 @@ def _depthwise_valid(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     # that to metric-breaking error (measured: mean SSIM 1.05 — above the
     # mathematical bound of 1 — on a chairs eval that scores 0.76 in exact
     # arithmetic).  An 11x11 depthwise window is negligible compute; always
-    # run it exact.
+    # run it exact.  (Inputs are f32 already: ssim_map casts before the
+    # x*x products, which would otherwise quantize in the input dtype.)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
@@ -55,6 +55,10 @@ def ssim_map(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0,
     """Per-pixel SSIM map of two (B, H, W, C) batches -> (B, H', W', C)."""
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
+    # Cast BEFORE the products: a*a in bf16 quantizes exactly the moments
+    # whose cancellation the f32/HIGHEST conv path is there to protect.
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     w = gaussian_window(filter_size, sigma)
     mu1 = _depthwise_valid(a, w)
     mu2 = _depthwise_valid(b, w)

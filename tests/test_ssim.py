@@ -103,3 +103,11 @@ def test_ssim_bounded_and_f32_compute_with_bf16_inputs():
     # stay exact: no above-one blowup and close to the f32-input result.
     assert lowp.max() <= 1.0 + 1e-5
     np.testing.assert_allclose(lowp, exact, atol=0.05)
+    # the adversarial regime: near-constant bf16 images, where squaring in
+    # the input dtype (pre-fix behavior) yields values like 126 / -308.
+    flat_gt = (0.7 + rng.normal(0, 0.003, gt.shape)).astype(np.float32)
+    flat_pred = (0.7 + rng.normal(0, 0.003, gt.shape)).astype(np.float32)
+    m = np.asarray(ssim(jnp.asarray(flat_gt, jnp.bfloat16),
+                        jnp.asarray(flat_pred, jnp.bfloat16),
+                        reduction="none"))
+    assert m.max() <= 1.0 + 1e-5 and m.min() >= -1.0 - 1e-5
