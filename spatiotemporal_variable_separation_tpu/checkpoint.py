@@ -16,6 +16,7 @@ per-step directories; ``load_for_eval`` is the ``load_model`` equivalent
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any, Optional, Tuple
 
 import jax
@@ -32,11 +33,32 @@ def _ckpt_dir(xp_dir: str) -> str:
 
 
 def save_checkpoint(xp_dir: str, state: TrainState, name: Optional[str] = None) -> str:
-    """Save the full train state under ``checkpoints/<name or step>/``."""
+    """Save the full train state under ``checkpoints/<name or step>/``.
+
+    Atomic with respect to the previous checkpoint of the same name: the
+    state is fully written to a dot-prefixed staging dir first and only
+    then swapped in.  ``ocp.save(path, force=True)`` deletes the existing
+    ``path`` *before* the (tunnel-slow) write starts, so a kill landing
+    mid-save would destroy the last good save together with the new one —
+    observed when a supervisor kill-escalation interrupted a final save.
+    """
     name = name if name is not None else str(int(state.step))
-    path = os.path.join(_ckpt_dir(xp_dir), name)
+    base = _ckpt_dir(xp_dir)
+    path = os.path.join(base, name)
+    staging = os.path.join(base, f".tmp.{name}.{os.getpid()}")
+    retired = os.path.join(base, f".old.{name}.{os.getpid()}")
+    for leftover in (staging, retired):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(staging, jax.device_get(state), force=True)
+    # Commit: retire the old dir, move the staging dir in, drop the retiree.
+    # The exposed window is now two renames instead of the whole write.
+    if os.path.isdir(path):
+        os.rename(path, retired)
+    os.rename(staging, path)
+    if os.path.isdir(retired):
+        shutil.rmtree(retired)
     return path
 
 
@@ -44,7 +66,9 @@ def list_checkpoints(xp_dir: str):
     d = _ckpt_dir(xp_dir)
     if not os.path.isdir(d):
         return []
-    return sorted(os.listdir(d))
+    # Dot-prefixed entries are save_checkpoint staging/retired dirs (crash
+    # leftovers at worst) — never valid checkpoints.
+    return sorted(n for n in os.listdir(d) if not n.startswith("."))
 
 
 def restore_checkpoint(xp_dir: str, state_template: TrainState,

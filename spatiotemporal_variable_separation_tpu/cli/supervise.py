@@ -40,13 +40,18 @@ def _launch(train_args, resume: bool,
 
 
 def supervise(train_args, stall_timeout: float = 600.0,
-              max_restarts: int = 20, grace: float = 15.0,
+              max_restarts: int = 20, grace: float = 120.0,
               log_fn=print,
               entry: str = "spatiotemporal_variable_separation_tpu.cli.main",
               startup_grace: float = 1500.0, max_failures: int = 0,
               deadline_min: float | None = None) -> int:
     """Run training under stall supervision; returns the final exit code.
 
+    ``grace``: seconds between the cooperative SIGTERM and the SIGKILL
+    escalation.  Default 120 s: a stall-killed child runs its guarded
+    final save over the remote tunnel, and cutting that short loses the
+    newest checkpoint (the save itself is crash-atomic, see
+    ``checkpoint.save_checkpoint``).
     ``startup_grace``: the stall clock never triggers earlier than this
     many seconds after launch — a fresh child spends minutes in silent
     remote compile, and killing a process MID-COMPILE is what wedges the
@@ -124,6 +129,18 @@ def supervise(train_args, stall_timeout: float = 600.0,
             now = time.monotonic()
             if (now - last_output > stall_timeout
                     and now - started > startup_grace):
+                # The supervisor itself can lose the CPU between an empty
+                # poll and this check (SIGSTOP/CONT, or starvation on a
+                # saturated host) — the stall clock then ages arbitrarily
+                # while the child keeps writing. Observed: a 25-min pause
+                # made this check kill a healthy training run whose entire
+                # epoch output was sitting unread in the pipe. A zero
+                # -timeout re-poll distinguishes "child silent" from
+                # "supervisor wasn't listening".
+                if sel.select(timeout=0):
+                    log_fn("[supervise] stall clock expired but output is "
+                           "pending — supervisor was paused, not the child")
+                    continue
                 stalled = True
                 log_fn(f"[supervise] no output for {stall_timeout:.0f}s — "
                        f"killing pid {child.pid} and resuming")
@@ -169,7 +186,9 @@ def main(argv=None):
         usage="... [--stall_timeout S] [--max_restarts N] -- <cli.main args>")
     p.add_argument("--stall_timeout", type=float, metavar="SEC", default=600.0)
     p.add_argument("--max_restarts", type=int, metavar="N", default=20)
-    p.add_argument("--grace", type=float, metavar="SEC", default=15.0)
+    p.add_argument("--grace", type=float, metavar="SEC", default=120.0,
+                   help="SIGTERM->SIGKILL wait; must cover the child's "
+                        "cooperative final save over the (slow) tunnel")
     p.add_argument("--entry", type=str, metavar="MODULE",
                    default="spatiotemporal_variable_separation_tpu.cli.main",
                    help="python -m entry module to supervise")

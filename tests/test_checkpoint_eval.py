@@ -56,6 +56,46 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_interrupted_save_preserves_previous(tmp_path, monkeypatch):
+    """A save that dies mid-write must not destroy the last good checkpoint.
+
+    Regression: ocp.save(path, force=True) deletes the target before the
+    (tunnel-slow) write begins, so a supervisor kill landing during a final
+    save destroyed the previous 'final' (observed on a real TaxiBJ run).
+    save_checkpoint now stages to a dot-prefixed sibling and swaps in."""
+    import orbax.checkpoint as ocp
+
+    cfg = wave_cfg(tmp_path)
+    model, tx, state = _trained_state(cfg)
+    save_checkpoint(str(tmp_path), state, name="final")
+    state2 = state.replace(step=state.step + 100)
+
+    real_save = ocp.StandardCheckpointer.save
+
+    def dying_save(self, path, *a, **kw):
+        os.makedirs(str(path), exist_ok=True)  # partial staging debris
+        raise RuntimeError("killed mid-save")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", dying_save)
+    with pytest.raises(RuntimeError):
+        save_checkpoint(str(tmp_path), state2, name="final")
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", real_save)
+
+    # the previous 'final' is intact and the staging debris is invisible
+    assert list_checkpoints(str(tmp_path)) == ["final"]
+    template = jax.eval_shape(lambda: create_train_state(model, cfg, tx))
+    restored = restore_checkpoint(str(tmp_path), template, name="final")
+    assert int(restored.step) == int(state.step)
+
+    # the next successful save overwrites and cleans its debris
+    save_checkpoint(str(tmp_path), state2, name="final")
+    assert list_checkpoints(str(tmp_path)) == ["final"]
+    ckpt_root = os.path.join(str(tmp_path), "checkpoints")
+    assert [n for n in os.listdir(ckpt_root) if n.startswith(".")] == []
+    restored2 = restore_checkpoint(str(tmp_path), template, name="final")
+    assert int(restored2.step) == int(state2.step)
+
+
 def test_resume_continues_identically(tmp_path):
     """Training N steps straight == training k, checkpoint/restore, N-k."""
     cfg = wave_cfg(tmp_path)

@@ -104,6 +104,66 @@ def test_supervise_partial_line_stall_detected(tmp_path, monkeypatch):
     assert any("killing pid" in l for l in logs), logs
 
 
+def test_supervise_paused_supervisor_does_not_kill_healthy_child(
+        tmp_path, monkeypatch):
+    """Regression: the supervisor losing the CPU must not kill the child.
+
+    Incident (TaxiBJ resume run): the supervisor was SIGSTOPped between an
+    empty poll and the staleness check; 25 min later, on SIGCONT, the stall
+    clock had aged past the timeout and it SIGTERMed a healthy child whose
+    epoch output was sitting unread in the pipe.  The fix re-polls with
+    timeout=0 before declaring a stall.  Simulated deterministically here:
+    one poll 'returns empty' while wall time jumps past stall_timeout and
+    the child keeps writing."""
+    import selectors as real_selectors
+    import time as real_time
+    import types
+
+    (tmp_path / "steady_writer.py").write_text(
+        "import time\n"
+        "print('training: stub started', flush=True)\n"
+        "for i in range(40):\n"
+        "    time.sleep(0.2)\n"
+        "    print('epoch', i, 'done', flush=True)\n")
+    monkeypatch.setenv("PYTHONPATH",
+                       f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
+
+    offset = [0.0]
+    state = {"seen_data": False, "paused_once": False}
+
+    class PausingSelector(real_selectors.DefaultSelector):
+        def select(self, timeout=None):
+            if (state["seen_data"] and not state["paused_once"]
+                    and timeout and timeout > 0):
+                # the 'pause': wall time passes (child writes ~3 lines),
+                # the stall clock ages past the timeout, and the poll the
+                # staleness check acts on reports nothing.
+                state["paused_once"] = True
+                real_time.sleep(0.7)
+                offset[0] = 10_000.0
+                return []
+            res = super().select(timeout)
+            if res:
+                state["seen_data"] = True
+            return res
+
+    monkeypatch.setattr(sup, "selectors", types.SimpleNamespace(
+        DefaultSelector=PausingSelector, EVENT_READ=real_selectors.EVENT_READ))
+    monkeypatch.setattr(sup, "time", types.SimpleNamespace(
+        monotonic=lambda: real_time.monotonic() + offset[0]))
+
+    logs = []
+    rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=30,
+                       grace=3, max_restarts=0, log_fn=logs.append,
+                       entry="steady_writer", startup_grace=0)
+    text = "\n".join(logs)
+    assert state["paused_once"], text
+    assert rc == 0, text
+    assert "killing pid" not in text, text
+    assert "output is pending" in text, text
+    assert "epoch 39 done" in text, text
+
+
 def test_supervise_relaunches_on_crash(tmp_path, monkeypatch):
     # nonzero exit + max_failures: relaunch with --resume, succeed second try
     (tmp_path / "crash_once.py").write_text(
