@@ -27,6 +27,25 @@ from typing import List, Tuple
 import numpy as np
 
 
+def _parse_stamps(timestamps) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized parse of ``YYYYMMDDSS`` stamps.
+
+    Returns (date_int ``YYYYMMDD``, slot ``1..48``, absolute half-hour slot
+    ``toordinal(date) * 48 + slot - 1``) as int64 arrays.  One numpy pass —
+    the original per-stamp ``datetime.date(...).toordinal()`` loop dominated
+    dataset construction on a loaded single-core host."""
+    full = np.asarray(timestamps, dtype="S10").astype("U10").astype(np.int64)
+    date = full // 100
+    slot = full % 100
+    year, month, day = date // 10000, date // 100 % 100, date % 100
+    d64 = ((year - 1970).astype("M8[Y]").astype("M8[M]")
+           + (month - 1).astype("m8[M]")).astype("M8[D]") \
+        + (day - 1).astype("m8[D]")
+    # datetime.date(1970, 1, 1).toordinal() == 719163
+    ordinal = d64.astype(np.int64) + 719163
+    return date, slot, ordinal * 48 + (slot - 1)
+
+
 def _abs_slot(ts: bytes) -> int:
     s = ts.decode() if isinstance(ts, (bytes, np.bytes_)) else str(ts)
     day = datetime.date(int(s[:4]), int(s[4:6]), int(s[6:8])).toordinal()
@@ -39,21 +58,20 @@ def remove_incomplete_days(data: np.ndarray, timestamps: List[bytes],
     """Keep only days covering slots 1..T (reference ``taxibj.py:184-207``
     scan semantics: a day is complete iff slot 1 is followed T-1 entries
     later by slot T)."""
-    def slot(ts):
-        s = ts.decode() if isinstance(ts, (bytes, np.bytes_)) else str(ts)
-        return int(s[8:])
-
-    days = set()
+    date, slot, _ = _parse_stamps(timestamps)
+    slot_l = slot.tolist()
+    days = []
     i = 0
-    while i < len(timestamps):
-        if slot(timestamps[i]) != 1:
+    n = len(timestamps)
+    while i < n:
+        if slot_l[i] != 1:
             i += 1
-        elif i + T - 1 < len(timestamps) and slot(timestamps[i + T - 1]) == T:
-            days.add(timestamps[i][:8])
+        elif i + T - 1 < n and slot_l[i + T - 1] == T:
+            days.append(date[i])
             i += T
         else:
             i += 1
-    idx = [i for i, t in enumerate(timestamps) if t[:8] in days]
+    idx = np.flatnonzero(np.isin(date, np.asarray(days, np.int64)))
     return data[idx], [timestamps[i] for i in idx]
 
 
@@ -78,17 +96,23 @@ class MinMaxNormalization:
 
 def _build_closeness(data: np.ndarray, timestamps: List[bytes],
                      len_closeness: int) -> np.ndarray:
-    """Sequences [t-1, ..., t-L] for every t whose L predecessors exist."""
-    slots = np.array([_abs_slot(t) for t in timestamps], np.int64)
-    index = {s: i for i, s in enumerate(slots)}
-    xc = []
-    for i in range(len_closeness, len(slots)):
-        base = slots[i]
-        deps = [base - j for j in range(1, len_closeness + 1)]
-        if all(d in index for d in deps):
-            frames = [np.transpose(data[index[d]], (1, 2, 0)) for d in deps]
-            xc.append(np.stack(frames, axis=0))
-    return np.stack(xc, axis=0)  # (N, L, 32, 32, 2)
+    """Sequences [t-1, ..., t-L] for every t whose L predecessors exist.
+
+    Vectorized: dependency lookups are one ``searchsorted`` over the sorted
+    absolute-slot axis and the windows one fancy gather (the original
+    23k-iteration transpose/stack loop took minutes of host time)."""
+    _, _, slots = _parse_stamps(timestamps)
+    order = np.argsort(slots, kind="stable")
+    sorted_slots = slots[order]
+    L = len_closeness
+    # deps[k, j-1] = slots[L + k] - j  (most recent first, reference order)
+    deps = slots[L:, None] - np.arange(1, L + 1, dtype=np.int64)[None, :]
+    pos = np.searchsorted(sorted_slots, deps)
+    pos = np.minimum(pos, len(slots) - 1)
+    valid = (sorted_slots[pos] == deps).all(axis=1)
+    win = order[pos[valid]]  # (N, L) frame indices
+    frames = np.transpose(data, (0, 2, 3, 1))  # channels-last once
+    return frames[win]  # (N, L, 32, 32, 2)
 
 
 class TaxiBJ:
@@ -102,6 +126,34 @@ class TaxiBJ:
                       len_closeness: int = None, len_test: int = 48 * 7 * 4,
                       nt_cond: int = 4) -> Tuple["TaxiBJ", "TaxiBJ"]:
         import h5py
+
+        # Build-once cache: the windowed corpus is a pure function of the
+        # yearly h5 files (fingerprinted below), and rebuilding it costs
+        # several full passes over the corpus — minutes of wall-clock on a
+        # slow/contended host for every training resume and eval.
+        years = list(range(13, 17))
+        src = [os.path.join(data_dir, f"BJ{y}_M32x32_T30_InOut.h5")
+               for y in years]
+        fingerprint = np.array(
+            [(os.path.getsize(p), int(os.path.getmtime(p))) for p in src],
+            np.int64)
+        base = os.path.join(
+            data_dir, f"closeness_L{len_closeness}_test{len_test}")
+        cache, meta = base + ".npy", base + ".meta.npz"
+        if os.path.isfile(cache) and os.path.isfile(meta):
+            try:
+                z = np.load(meta)
+                if np.array_equal(z["fingerprint"], fingerprint):
+                    mmn = MinMaxNormalization()
+                    mmn._min, mmn._max = float(z["min"]), float(z["max"])
+                    # raw .npy so the gigabyte corpus is memory-mapped, not
+                    # copied through python (the npz/zip path re-reads it at
+                    # this host's pathological bulk-copy speed).
+                    xc = np.load(cache, mmap_mode="r")
+                    return (cls(xc[:-len_test], nt_cond, mmn),
+                            cls(xc[-len_test:], nt_cond, mmn))
+            except (OSError, KeyError, ValueError):
+                pass  # unreadable/stale cache: rebuild below
 
         data_all, timestamps_all = [], []
         for year in range(13, 17):
@@ -125,11 +177,24 @@ class TaxiBJ:
         mmn = MinMaxNormalization()
         mmn.fit(data_train)
 
+        # normalize in f64 then cast f32 *before* windowing: same values as
+        # casting after (the cast is elementwise), half the gather traffic.
         xc = [
-            _build_closeness(mmn.transform(d), ts, len_closeness)
+            _build_closeness(mmn.transform(d).astype(np.float32), ts,
+                             len_closeness)
             for d, ts in zip(data_all, timestamps_all)
         ]
-        xc = np.concatenate(xc, axis=0).astype(np.float32)
+        xc = np.concatenate(xc, axis=0)
+        try:  # atomic publish; a read-only data_dir just skips the cache
+            tmp = base + f".tmp.{os.getpid()}.npy"
+            np.save(tmp, xc)
+            os.replace(tmp, cache)
+            tmp = base + f".tmp.{os.getpid()}.meta.npz"
+            np.savez(tmp, min=np.float64(mmn._min),
+                     max=np.float64(mmn._max), fingerprint=fingerprint)
+            os.replace(tmp, meta)
+        except OSError:
+            pass
         return (cls(xc[:-len_test], nt_cond, mmn), cls(xc[-len_test:], nt_cond, mmn))
 
     def __len__(self) -> int:

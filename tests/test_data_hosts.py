@@ -77,6 +77,27 @@ def test_taxibj_datasets(taxibj_dir):
     assert train.mmn is test.mmn
 
 
+def test_taxibj_build_cache_roundtrip(taxibj_dir):
+    """Second build must serve the published cache (mmap) with identical
+    values, and a changed source file must invalidate it."""
+    import os
+
+    kw = dict(len_closeness=8, len_test=24, nt_cond=4)
+    tr1, te1 = TaxiBJ.make_datasets(taxibj_dir, **kw)
+    assert os.path.isfile(os.path.join(taxibj_dir, "closeness_L8_test24.npy"))
+    tr2, te2 = TaxiBJ.make_datasets(taxibj_dir, **kw)
+    assert isinstance(tr2.data, np.memmap)
+    np.testing.assert_array_equal(np.asarray(tr1.data), np.asarray(tr2.data))
+    np.testing.assert_array_equal(np.asarray(te1.data), np.asarray(te2.data))
+    assert (tr2.mmn._min, tr2.mmn._max) == (tr1.mmn._min, tr1.mmn._max)
+    # stale fingerprint -> rebuild (no crash, fresh values)
+    src = os.path.join(taxibj_dir, "BJ13_M32x32_T30_InOut.h5")
+    os.utime(src, (0, 0))
+    tr3, _ = TaxiBJ.make_datasets(taxibj_dir, **kw)
+    assert not isinstance(tr3.data, np.memmap)
+    np.testing.assert_array_equal(np.asarray(tr1.data), np.asarray(tr3.data))
+
+
 def test_taxibj_sequence_time_reversal(taxibj_dir):
     """Entry frames must be [t-1, t-2, ...]: frame j of entry i equals frame
     j+1 of entry i+1 when both windows are in range (shifted by one slot)."""
