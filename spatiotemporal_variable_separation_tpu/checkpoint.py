@@ -77,15 +77,28 @@ def restore_checkpoint(xp_dir: str, state_template: TrainState,
     ``final``."""
     names = list_checkpoints(xp_dir)
     if name is None:
-        # "final" is written on every clean or interrupted exit, so when it
-        # exists it is at least as new as any periodic (epoch-named) save.
-        if "final" in names:
-            name = "final"
-        else:
-            numeric = sorted((int(n) for n in names if n.isdigit()))
-            if not numeric:
-                raise FileNotFoundError(f"no checkpoints under {xp_dir!r}")
-            name = str(numeric[-1])
+        # Prefer the NEWEST checkpoint, not blindly "final": a SIGKILL
+        # escalation (or the guarded final-save skip when an interrupt lands
+        # inside the donated step, train/loop.py) can end a resumed segment
+        # with no final write — leaving a *stale* "final" from the previous
+        # segment next to newer periodic (epoch-named) saves.  Recency comes
+        # from the checkpoint dir's mtime: save_checkpoint writes into a
+        # fresh staging dir and renames it in, so the mtime is the save
+        # time regardless of the name it was committed under.
+        candidates = [n for n in names if n == "final" or n.isdigit()]
+        if not candidates:
+            raise FileNotFoundError(f"no checkpoints under {xp_dir!r}")
+
+        def _mtime(n: str) -> float:
+            try:
+                return os.path.getmtime(os.path.join(_ckpt_dir(xp_dir), n))
+            except OSError:
+                return 0.0
+
+        # ties (same mtime second) resolve to "final", then highest epoch.
+        name = max(candidates,
+                   key=lambda n: (_mtime(n), n == "final",
+                                  int(n) if n.isdigit() else -1))
     path = os.path.join(_ckpt_dir(xp_dir), name)
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, state_template)

@@ -96,6 +96,35 @@ def test_interrupted_save_preserves_previous(tmp_path, monkeypatch):
     assert int(restored2.step) == int(state2.step)
 
 
+def test_restore_prefers_newest_not_stale_final(tmp_path):
+    """A SIGKILLed segment leaves a stale 'final' from the previous run next
+    to newer periodic saves; default restore must pick the newest one
+    (checkpoint.py restore_checkpoint mtime rule), not lose the segment."""
+    cfg = wave_cfg(tmp_path)
+    model, tx, state = _trained_state(cfg, n_steps=2)
+    ckdir = os.path.join(str(tmp_path), "checkpoints")
+
+    # segment 1 exits cleanly at step 1: 'final' written.
+    save_checkpoint(str(tmp_path), state.replace(step=jnp.int32(1)), name="final")
+    # segment 2 advances to step 2, writes a periodic save, then dies
+    # without a final write.
+    save_checkpoint(str(tmp_path), state, name="25")
+    # make the recency unambiguous regardless of fs timestamp granularity.
+    old, new = os.path.join(ckdir, "final"), os.path.join(ckdir, "25")
+    os.utime(old, (os.path.getmtime(old) - 60,) * 2)
+
+    template = jax.eval_shape(lambda: create_train_state(model, cfg, tx))
+    restored = restore_checkpoint(str(tmp_path), template)
+    assert int(restored.step) == 2  # the periodic save, not the stale final
+
+    # equal mtimes (normal clean exit: final written right after the last
+    # periodic save) resolve to 'final'.
+    t = os.path.getmtime(new)
+    os.utime(old, (t, t))
+    restored = restore_checkpoint(str(tmp_path), template)
+    assert int(restored.step) == 1
+
+
 def test_resume_continues_identically(tmp_path):
     """Training N steps straight == training k, checkpoint/restore, N-k."""
     cfg = wave_cfg(tmp_path)
