@@ -24,8 +24,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, metavar="BATCH", default=32)
     p.add_argument("--n_steps", type=int, metavar="N", default=20,
                    help="Integrator steps to probe.")
-    p.add_argument("--horizon", type=int, metavar="N", default=95,
-                   help="Eval-protocol rollout length for projected growth.")
+    p.add_argument("--horizon", type=int, metavar="N", default=None,
+                   help="Eval-protocol rollout length for projected growth "
+                        "and the verdict; default: the experiment dataset's "
+                        "protocol horizon (diagnostics.PROTOCOL_HORIZONS).")
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_platform_arg,
         apply_platform,
@@ -44,6 +46,7 @@ def main(argv=None):
         diagnose,
         format_report,
         make_rollout_probe,
+        protocol_horizon,
     )
     from spatiotemporal_variable_separation_tpu.utils.compile_cache import (
         enable_compilation_cache,
@@ -63,8 +66,11 @@ def main(argv=None):
 
     cond = None
     probe = None  # built once: every checkpoint shares the model structure
+    horizon = args.horizon
     for name in names:
         model, variables, cfg = ckpt.load_for_eval(args.xp_dir, name)
+        if horizon is None:
+            horizon = protocol_horizon(cfg.data, cfg.nt_pred)
         if cond is None:
             if args.data_dir:
                 cfg_d = dataclasses.replace(cfg, data_dir=args.data_dir,
@@ -84,7 +90,7 @@ def main(argv=None):
                 ).astype(np.float32)
         if probe is None:
             probe = make_rollout_probe(model, args.n_steps)
-        rep = diagnose(model, variables, cond, args.n_steps, args.horizon,
+        rep = diagnose(model, variables, cond, args.n_steps, horizon,
                        probe=probe, synthetic_cond=args.data_dir is None)
         label = name or "latest"
         print(f"== checkpoint {label} ==")

@@ -15,7 +15,18 @@ def main(argv=None):
     p.add_argument("--frame_size", type=int, metavar="SIZE", default=64)
     p.add_argument("--size", type=int, metavar="SIZE", default=300)
     p.add_argument("--dt", type=float, metavar="DT", default=0.001)
+    from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_platform_arg,
+        apply_platform,
+    )
+
+    # The RK4 integration runs on the default accelerator; --platform cpu
+    # keeps a dataset build off the TPU while a training run holds it (on
+    # the tunneled single-chip platform two concurrent device processes
+    # risk wedging the tunnel, CLAUDE.md).
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     from spatiotemporal_variable_separation_tpu.data.wave_eq import generate_dataset
 

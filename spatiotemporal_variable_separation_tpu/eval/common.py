@@ -309,7 +309,14 @@ def write_eval_json(xp_dir: str, protocol: str, means: Dict[str, float],
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
-            if time.time() > deadline:  # stale lock from a killed writer
+            if time.time() > deadline:
+                # Stale lock from a killed writer: remove it so later
+                # writers don't each pay the full timeout, then proceed
+                # (the merge below is atomic via os.replace either way).
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
                 break
             time.sleep(0.1)
     try:

@@ -138,21 +138,61 @@ def diagnose(model, variables: dict, cond: np.ndarray, n_steps: int,
         rep["projected_growth_at_horizon"] = float(g ** horizon)
     unstable = is_unstable(g, rep["bn"]["max_var"],
                            None if synthetic_cond
-                           else float(rep["s_mean_abs"]))
+                           else float(rep["s_mean_abs"]),
+                           horizon=horizon)
     rep["verdict"] = "UNSTABLE" if unstable else "ok"
     return rep
 
 
+# Longest published eval-protocol rollout per dataset (reference test
+# scripts / paper protocols): the horizon over which a per-step gain
+# actually compounds.  mnist: t+95 (``var_sep/test/mnist/test.py``,
+# README.md:112-116); wave: t+40 (``test/wave/test.py:74-82``); sst: t+10
+# (``test/sst/test.py``); taxibj: t+4 (``test/taxibj/test.py:71-79``).
+# chairs' horizon is a free flag in the reference — fall back to the
+# training nt_pred.
+PROTOCOL_HORIZONS = {"mnist": 95, "wave": 40, "wave_partial": 40,
+                     "sst": 10, "taxibj": 4}
+
+#: projected ||T|| growth over the protocol horizon above which the
+#: rollout is compounding toward collapse.  Calibrated on the BASELINE.md
+#: runaway study: healthy converged MNIST probes sit at gain 1.01-1.03
+#: (growth 2.6-17 over 95 steps), the first visibly-bad bf16 checkpoint
+#: at 1.43 (growth ~5e14); 1e3 splits the two regimes with an order of
+#: magnitude to spare on each side.
+GROWTH_LIMIT = 1e3
+
+
+def protocol_horizon(data: str, nt_pred: Optional[int] = None) -> int:
+    """Eval-protocol rollout length for a dataset (fallback: training
+    ``nt_pred``, floored at 10)."""
+    return PROTOCOL_HORIZONS.get(data, max(nt_pred or 0, 10))
+
+
 def is_unstable(gain_geomean: float, bn_max_var: float,
-                s_mean_abs: Optional[float] = None) -> bool:
+                s_mean_abs: Optional[float] = None,
+                horizon: Optional[int] = None) -> bool:
     """Triage predicate with the measured thresholds from BASELINE.md's
     runaway investigation (gain 1.43 at the first bad checkpoint, BN var
     2.9e29 at collapse, |S| ~500 at the bf16-quantization knee).  Single
     source of truth for both the diagnose CLI and the in-training
-    ``--monitor_stability`` hook.  Pass ``s_mean_abs=None`` when S was
-    measured on synthetic (noise) conditioning — that threshold was
-    calibrated on real-data probes and does not transfer."""
-    return (gain_geomean > 1.15 or bn_max_var > 1e6
+    ``--monitor_stability`` hook.
+
+    With ``horizon`` the gain criterion is horizon-aware: what matters is
+    the *compounded* growth over the protocol's rollout length, not the
+    raw per-step gain — a healthy TaxiBJ model probes at gain ~1.28, which
+    over its 4-step protocol is a benign 2.7x but would trip a fixed
+    per-step threshold tuned for MNIST's 95-step horizon.  Without
+    ``horizon`` the legacy fixed threshold (1.15/step) applies.
+
+    Pass ``s_mean_abs=None`` when S was measured on synthetic (noise)
+    conditioning — that threshold was calibrated on real-data probes and
+    does not transfer."""
+    if horizon is not None:
+        gain_bad = gain_geomean ** horizon > GROWTH_LIMIT
+    else:
+        gain_bad = gain_geomean > 1.15
+    return (gain_bad or bn_max_var > 1e6
             or (s_mean_abs is not None and s_mean_abs > 500))
 
 

@@ -124,9 +124,13 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
             finalize_probe,
             is_unstable,
             make_rollout_probe,
+            protocol_horizon,
         )
 
         _probe = make_rollout_probe(model, max(cfg.nt_pred, 10))
+        # verdicts judge compounded growth over the dataset's eval-protocol
+        # rollout length, not raw per-step gain (diagnostics.is_unstable).
+        _horizon = protocol_horizon(cfg.data, cfg.nt_pred)
         _probe_cond = _np.random.default_rng(0).standard_normal(
             (8, cfg.nt_cond) + cfg.frame_shape).astype(_np.float32)
         # own file: metrics.csv's column set is frozen at its first row
@@ -142,9 +146,12 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
             bn = bn_health(variables)
             # noise conditioning -> |S| scale is indicative only, so the
             # verdict rests on gain and BN health (is_unstable docstring).
-            bad = is_unstable(rep["gain_geomean"], bn["max_var"], None)
+            bad = is_unstable(rep["gain_geomean"], bn["max_var"], None,
+                              horizon=_horizon)
+            growth = rep["gain_geomean"] ** _horizon
             log_fn(f"stability @ epoch {epoch}: gain/step "
-                   f"{rep['gain_geomean']:.3f}, |S| {float(rep['s_mean_abs']):.3g}, "
+                   f"{rep['gain_geomean']:.3f} ({growth:.3g}x over the "
+                   f"t+{_horizon} protocol), |S| {float(rep['s_mean_abs']):.3g}, "
                    f"BN max var {bn['max_var']:.3g}"
                    + ("  ** UNSTABLE **" if bad else ""))
             if slog is not None:

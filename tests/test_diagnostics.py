@@ -14,6 +14,8 @@ from spatiotemporal_variable_separation_tpu.core.config import ExperimentConfig
 from spatiotemporal_variable_separation_tpu.eval.diagnostics import (
     bn_health,
     diagnose,
+    is_unstable,
+    protocol_horizon,
     rollout_probe,
 )
 from spatiotemporal_variable_separation_tpu.models.factory import (
@@ -98,3 +100,31 @@ def test_diagnose_cli_on_trained_xp(tmp_path, capsys):
     parsed = json.loads(line)
     assert parsed["verdict"] in ("ok", "UNSTABLE")
     assert parsed["projected_growth"] > 0
+
+
+def test_horizon_aware_verdict():
+    """The gain criterion judges compounded growth over the protocol
+    horizon: a healthy short-horizon recipe (measured TaxiBJ probe: gain
+    ~1.28, 4-step protocol) must NOT be flagged, while the same per-step
+    gain over MNIST's 95-step protocol must."""
+    assert not is_unstable(1.28, bn_max_var=400.0, horizon=4)
+    assert is_unstable(1.28, bn_max_var=400.0, horizon=95)
+    # healthy converged MNIST probes (gain 1.01-1.03) stay healthy at 95.
+    assert not is_unstable(1.03, bn_max_var=10.0, horizon=95)
+    # the measured runaway signature trips every formulation.
+    assert is_unstable(1.43, bn_max_var=10.0, horizon=95)
+    assert is_unstable(1.43, bn_max_var=10.0)  # legacy fixed threshold
+    # BN / |S| criteria are horizon-independent.
+    assert is_unstable(1.0, bn_max_var=1e7, horizon=4)
+    assert is_unstable(1.0, bn_max_var=1.0, s_mean_abs=600.0, horizon=4)
+
+
+def test_protocol_horizon_mapping():
+    assert protocol_horizon("mnist") == 95
+    assert protocol_horizon("wave") == 40
+    assert protocol_horizon("wave_partial") == 40
+    assert protocol_horizon("sst") == 10
+    assert protocol_horizon("taxibj") == 4
+    # unknown datasets fall back to the training nt_pred, floored at 10.
+    assert protocol_horizon("chairs", nt_pred=25) == 25
+    assert protocol_horizon("chairs", nt_pred=3) == 10
