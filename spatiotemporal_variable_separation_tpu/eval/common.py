@@ -296,10 +296,16 @@ def write_eval_json(xp_dir: str, protocol: str, means: Dict[str, float],
     bn_reestimate, ...) keeps its original types — display layers
     (``cli.summarize``) rely on this to tell metrics from metadata.
     A lock file serializes concurrent eval CLIs on the same xp_dir so the
-    read-merge-write cannot drop the other protocol's record."""
+    read-merge-write cannot drop the other protocol's record.
+
+    Scoring a pinned intermediate checkpoint (``--epoch N``) records under
+    ``"<protocol>@epN"`` so diagnostic scores of older checkpoints never
+    clobber the final-model slot."""
     import json
     import time
 
+    if extra.get("epoch") is not None:
+        protocol = f"{protocol}@ep{extra['epoch']}"
     path = os.path.join(xp_dir, "evals.json")
     lock = path + ".lock"
     deadline = time.time() + 10.0

@@ -270,15 +270,17 @@ def test_write_eval_json_merges(tmp_path):
     from spatiotemporal_variable_separation_tpu.eval.common import write_eval_json
 
     write_eval_json(str(tmp_path), "wave", {"mse_t40": np.float32(1e-4)})
+    # a pinned intermediate checkpoint gets its own slot so diagnostic
+    # scores never clobber the final-model record
     write_eval_json(str(tmp_path), "mnist_t10",
                     {"mse": 0.01, "psnr": 20.0, "ssim": 0.9}, epoch=25)
     # last run of the same protocol wins; other protocols are preserved
     path = write_eval_json(str(tmp_path), "wave", {"mse_t40": 2e-4})
     with open(path) as f:
         record = json.load(f)
-    assert set(record) == {"wave", "mnist_t10"}
+    assert set(record) == {"wave", "mnist_t10@ep25"}
     assert record["wave"]["mse_t40"] == pytest.approx(2e-4)
-    assert record["mnist_t10"]["epoch"] == 25
+    assert record["mnist_t10@ep25"]["epoch"] == 25
     assert isinstance(record["wave"]["mse_t40"], float)  # np scalars coerced
     # a corrupt file is tolerated (fresh start), not fatal
     with open(path, "w") as f:
