@@ -147,7 +147,10 @@ def bench_tpu():
         "tflops_per_step": round(flops / 1e12, 3),
         "mfu": round(flops / step_s / 197e12, 3) if flops else None,
         "hbm_gb_per_step": round(hbm_bytes / 1e9, 2),
-        "hbm_roofline_util": round(hbm_bytes / step_s / 819e9, 3) if hbm_bytes else None,
+        # XLA cost-analysis bytes overcount fused re-reads, so this ratio
+        # can exceed 1.0 — it is a cost-model reading, not measured HBM
+        # traffic (see BASELINE.md "Round-2 perf experiments").
+        "hbm_costmodel_bw_ratio": round(hbm_bytes / step_s / 819e9, 3) if hbm_bytes else None,
         "fused_datagen_samples_per_sec_per_chip":
             round(fused_sps, 2) if fused_sps else None,
     }

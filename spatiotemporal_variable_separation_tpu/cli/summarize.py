@@ -55,7 +55,11 @@ def summarize(xp_dir: str, points: int = 8, log_fn=print) -> dict:
                f" precision={p.get('precision')}")
     ckpt_dir = os.path.join(xp_dir, "checkpoints")
     if os.path.isdir(ckpt_dir):
-        names = sorted(os.listdir(ckpt_dir),
+        # dot-prefixed entries are save_checkpoint staging/retired dirs
+        # (checkpoint.list_checkpoints invariant), never checkpoints;
+        # filtered inline to keep this CLI jax-import-free.
+        names = sorted((n for n in os.listdir(ckpt_dir)
+                        if not n.startswith(".")),
                        key=lambda n: (n != "final", int(n) if n.isdigit() else 0))
         out["checkpoints"] = names
         log_fn(f"checkpoints: {len(names)} ({', '.join(names[:12])}"

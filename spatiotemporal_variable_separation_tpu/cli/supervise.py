@@ -39,6 +39,39 @@ def _launch(train_args, resume: bool,
                             stderr=subprocess.STDOUT, text=True, env=env)
 
 
+def _wait_draining(child, sel, fd, emit, timeout: float) -> bool:
+    """Wait up to ``timeout`` for the child to exit while draining stdout;
+    returns True iff it exited.
+
+    A blind ``child.wait(timeout=grace)`` after SIGTERM lets a chatty
+    teardown fill the pipe (~64 KiB): the child then blocks in write()
+    mid final-save, never exits, and the SIGKILL escalation destroys the
+    checkpoint the grace period exists to protect."""
+    end = time.monotonic() + timeout
+    eof = False
+    while child.poll() is None:
+        remaining = end - time.monotonic()
+        if remaining <= 0:
+            return False
+        if eof:
+            try:
+                child.wait(timeout=remaining)
+            except subprocess.TimeoutExpired:
+                return False
+            return True
+        if sel.select(timeout=min(1.0, remaining)):
+            try:
+                chunk = os.read(fd, 65536)
+            except OSError:
+                eof = True
+                continue
+            if chunk:
+                emit(chunk.decode(errors="replace"))
+            else:
+                eof = True
+    return True
+
+
 def supervise(train_args, stall_timeout: float = 600.0,
               max_restarts: int = 20, grace: float = 120.0,
               log_fn=print,
@@ -98,11 +131,10 @@ def supervise(train_args, stall_timeout: float = 600.0,
                 log_fn("[supervise] wall-clock deadline reached — stopping "
                        f"pid {child.pid} cooperatively")
                 child.send_signal(signal.SIGTERM)
-                try:
-                    # generous: the cooperative stop finishes the in-flight
-                    # step and writes a final checkpoint over the tunnel.
-                    child.wait(timeout=max(grace, 120.0))
-                except subprocess.TimeoutExpired:
+                # generous: the cooperative stop finishes the in-flight
+                # step and writes a final checkpoint over the tunnel.
+                if not _wait_draining(child, sel, fd, emit,
+                                      max(grace, 120.0)):
                     child.kill()
                     child.wait()
                 break
@@ -145,9 +177,7 @@ def supervise(train_args, stall_timeout: float = 600.0,
                 log_fn(f"[supervise] no output for {stall_timeout:.0f}s — "
                        f"killing pid {child.pid} and resuming")
                 child.send_signal(signal.SIGTERM)  # cooperative save attempt
-                try:
-                    child.wait(timeout=grace)
-                except subprocess.TimeoutExpired:
+                if not _wait_draining(child, sel, fd, emit, grace):
                     child.kill()
                     child.wait()
                 break

@@ -20,11 +20,17 @@ of pandas.  Items are (cond, target) float32 (T, 32, 32, 2) channels-last.
 
 from __future__ import annotations
 
-import datetime
+import glob
 import os
 from typing import List, Tuple
 
 import numpy as np
+
+#: bump when remove_incomplete_days / MinMaxNormalization /
+#: _build_closeness semantics change — the on-disk cache fingerprints the
+#: SOURCE files only, so without a code version a pipeline change would
+#: silently keep serving tensors built by the old code.
+CACHE_VERSION = 1
 
 
 def _parse_stamps(timestamps) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -44,13 +50,6 @@ def _parse_stamps(timestamps) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     # datetime.date(1970, 1, 1).toordinal() == 719163
     ordinal = d64.astype(np.int64) + 719163
     return date, slot, ordinal * 48 + (slot - 1)
-
-
-def _abs_slot(ts: bytes) -> int:
-    s = ts.decode() if isinstance(ts, (bytes, np.bytes_)) else str(ts)
-    day = datetime.date(int(s[:4]), int(s[4:6]), int(s[6:8])).toordinal()
-    slot = int(s[8:])  # 1..48
-    return day * 48 + (slot - 1)
 
 
 def remove_incomplete_days(data: np.ndarray, timestamps: List[bytes],
@@ -143,7 +142,9 @@ class TaxiBJ:
         if os.path.isfile(cache) and os.path.isfile(meta):
             try:
                 z = np.load(meta)
-                if np.array_equal(z["fingerprint"], fingerprint):
+                if ("version" in z.files
+                        and int(z["version"]) == CACHE_VERSION
+                        and np.array_equal(z["fingerprint"], fingerprint)):
                     mmn = MinMaxNormalization()
                     mmn._min, mmn._max = float(z["min"]), float(z["max"])
                     # raw .npy so the gigabyte corpus is memory-mapped, not
@@ -185,16 +186,29 @@ class TaxiBJ:
             for d, ts in zip(data_all, timestamps_all)
         ]
         xc = np.concatenate(xc, axis=0)
+        # crashed builds (SIGKILL / disk-full) leave gigabyte .tmp files no
+        # later run would ever touch: sweep dead pids' leftovers first.
+        for leftover in glob.glob(base + ".tmp.*"):
+            try:
+                os.unlink(leftover)
+            except OSError:
+                pass
+        tmp = None
         try:  # atomic publish; a read-only data_dir just skips the cache
             tmp = base + f".tmp.{os.getpid()}.npy"
             np.save(tmp, xc)
             os.replace(tmp, cache)
             tmp = base + f".tmp.{os.getpid()}.meta.npz"
             np.savez(tmp, min=np.float64(mmn._min),
-                     max=np.float64(mmn._max), fingerprint=fingerprint)
+                     max=np.float64(mmn._max), fingerprint=fingerprint,
+                     version=np.int64(CACHE_VERSION))
             os.replace(tmp, meta)
         except OSError:
-            pass
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
         return (cls(xc[:-len_test], nt_cond, mmn), cls(xc[-len_test:], nt_cond, mmn))
 
     def __len__(self) -> int:

@@ -308,22 +308,29 @@ def write_eval_json(xp_dir: str, protocol: str, means: Dict[str, float],
         protocol = f"{protocol}@ep{extra['epoch']}"
     path = os.path.join(xp_dir, "evals.json")
     lock = path + ".lock"
-    deadline = time.time() + 10.0
+    stale_age_s = 10.0  # live writers hold the lock for milliseconds
     fd = None
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
-            if time.time() > deadline:
-                # Stale lock from a killed writer: remove it so later
-                # writers don't each pay the full timeout, then proceed
-                # (the merge below is atomic via os.replace either way).
+            # A lock older than ``stale_age_s`` belongs to a killed
+            # writer: unlink it and RETRY acquisition.  Never proceed
+            # lockless — unlinking a live writer's fresh lock and writing
+            # anyway would let two read-merge-write cycles interleave and
+            # silently drop the other protocol's record.  A fresh lock is
+            # simply waited on: it is either released or ages out.
+            try:
+                stale = time.time() - os.path.getmtime(lock) > stale_age_s
+            except OSError:
+                continue  # lock vanished — retry acquisition now
+            if stale:
                 try:
                     os.unlink(lock)
                 except OSError:
                     pass
-                break
+                continue
             time.sleep(0.1)
     try:
         try:

@@ -25,6 +25,7 @@ batch), so it can run per-checkpoint during training or from the CLI
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -135,7 +136,7 @@ def diagnose(model, variables: dict, cond: np.ndarray, n_steps: int,
     g = rep["gain_geomean"]
     rep["horizon"] = horizon
     if horizon:
-        rep["projected_growth_at_horizon"] = float(g ** horizon)
+        rep["projected_growth_at_horizon"] = projected_growth(g, horizon)
     unstable = is_unstable(g, rep["bn"]["max_var"],
                            None if synthetic_cond
                            else float(rep["s_mean_abs"]),
@@ -169,6 +170,17 @@ def protocol_horizon(data: str, nt_pred: Optional[int] = None) -> int:
     return PROTOCOL_HORIZONS.get(data, max(nt_pred or 0, 10))
 
 
+def projected_growth(gain: float, horizon: int) -> float:
+    """``gain ** horizon`` saturating to inf instead of raising.
+
+    Python float exponentiation raises OverflowError (not inf) precisely
+    on wildly divergent probes — the case the report exists to flag."""
+    if gain <= 0:
+        return 0.0
+    log_g = horizon * math.log(gain)
+    return math.inf if log_g > 700.0 else math.exp(log_g)
+
+
 def is_unstable(gain_geomean: float, bn_max_var: float,
                 s_mean_abs: Optional[float] = None,
                 horizon: Optional[int] = None) -> bool:
@@ -189,7 +201,10 @@ def is_unstable(gain_geomean: float, bn_max_var: float,
     conditioning — that threshold was calibrated on real-data probes and
     does not transfer."""
     if horizon is not None:
-        gain_bad = gain_geomean ** horizon > GROWTH_LIMIT
+        # log space: gain**horizon overflows Python floats (OverflowError,
+        # not inf) exactly when the model is wildly divergent.
+        gain_bad = (gain_geomean > 0
+                    and horizon * math.log(gain_geomean) > math.log(GROWTH_LIMIT))
     else:
         gain_bad = gain_geomean > 1.15
     return (gain_bad or bn_max_var > 1e6

@@ -124,6 +124,7 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
             finalize_probe,
             is_unstable,
             make_rollout_probe,
+            projected_growth,
             protocol_horizon,
         )
 
@@ -148,7 +149,7 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
             # verdict rests on gain and BN health (is_unstable docstring).
             bad = is_unstable(rep["gain_geomean"], bn["max_var"], None,
                               horizon=_horizon)
-            growth = rep["gain_geomean"] ** _horizon
+            growth = projected_growth(rep["gain_geomean"], _horizon)
             log_fn(f"stability @ epoch {epoch}: gain/step "
                    f"{rep['gain_geomean']:.3f} ({growth:.3g}x over the "
                    f"t+{_horizon} protocol), |S| {float(rep['s_mean_abs']):.3g}, "

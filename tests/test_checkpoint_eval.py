@@ -96,10 +96,52 @@ def test_interrupted_save_preserves_previous(tmp_path, monkeypatch):
     assert int(restored2.step) == int(state2.step)
 
 
+def test_repair_leftovers_recovers_and_cleans(tmp_path):
+    """Crash leftovers from ANY pid are recovered or removed.
+
+    A kill between save_checkpoint's two commit renames leaves a complete
+    marked .tmp (and/or a retired .old) with no visible checkpoint of that
+    name; the repair sweep must adopt the complete copy instead of leaving
+    resume to silently fall back to an older save, and must delete
+    markerless staging debris so kill cycles cannot accumulate hidden
+    full-size checkpoints."""
+    import shutil
+
+    from spatiotemporal_variable_separation_tpu import checkpoint as ckpt_mod
+
+    cfg = wave_cfg(tmp_path)
+    model, tx, state = _trained_state(cfg)
+    save_checkpoint(str(tmp_path), state, name="final")
+    ckdir = os.path.join(str(tmp_path), "checkpoints")
+
+    # simulate a dead pid's kill-between-renames: a complete marked .tmp
+    # next to a retired .old, no visible 'final'.
+    os.rename(os.path.join(ckdir, "final"), os.path.join(ckdir, ".old.final.999"))
+    shutil.copytree(os.path.join(ckdir, ".old.final.999"),
+                    os.path.join(ckdir, ".tmp.final.999"))
+    # plus markerless staging debris from yet another dead save
+    os.makedirs(os.path.join(ckdir, ".tmp.final.1000"))
+    # age everything past the live-writer guard
+    for n in os.listdir(ckdir):
+        p = os.path.join(ckdir, n)
+        os.utime(p, (os.path.getmtime(p) - 2 * ckpt_mod._REPAIR_MIN_AGE_S,) * 2)
+
+    assert list_checkpoints(str(tmp_path)) == ["final"]  # adopted the .tmp
+    assert [n for n in os.listdir(ckdir) if n.startswith(".")] == []
+    template = jax.eval_shape(lambda: create_train_state(model, cfg, tx))
+    restored = restore_checkpoint(str(tmp_path), template, name="final")
+    assert int(restored.step) == int(state.step)
+
+    # a FRESH leftover (possible live writer mid-swap) is left alone
+    os.makedirs(os.path.join(ckdir, ".tmp.final.1001"))
+    list_checkpoints(str(tmp_path))
+    assert os.path.isdir(os.path.join(ckdir, ".tmp.final.1001"))
+
+
 def test_restore_prefers_newest_not_stale_final(tmp_path):
     """A SIGKILLed segment leaves a stale 'final' from the previous run next
-    to newer periodic saves; default restore must pick the newest one
-    (checkpoint.py restore_checkpoint mtime rule), not lose the segment."""
+    to newer periodic saves; default restore must pick the newest one (the
+    step recorded in the checkpoint meta marker), not lose the segment."""
     cfg = wave_cfg(tmp_path)
     model, tx, state = _trained_state(cfg, n_steps=2)
     ckdir = os.path.join(str(tmp_path), "checkpoints")
@@ -109,16 +151,20 @@ def test_restore_prefers_newest_not_stale_final(tmp_path):
     # segment 2 advances to step 2, writes a periodic save, then dies
     # without a final write.
     save_checkpoint(str(tmp_path), state, name="25")
-    # make the recency unambiguous regardless of fs timestamp granularity.
     old, new = os.path.join(ckdir, "final"), os.path.join(ckdir, "25")
-    os.utime(old, (os.path.getmtime(old) - 60,) * 2)
+    # step recency must be immune to fs timestamps (an un-preserving
+    # `cp -r` of the xp_dir scrambles mtimes into copy order): make the
+    # stale final LOOK newest.
+    os.utime(old, (os.path.getmtime(old) + 60,) * 2)
 
     template = jax.eval_shape(lambda: create_train_state(model, cfg, tx))
     restored = restore_checkpoint(str(tmp_path), template)
     assert int(restored.step) == 2  # the periodic save, not the stale final
 
-    # equal mtimes (normal clean exit: final written right after the last
-    # periodic save) resolve to 'final'.
+    # legacy checkpoints without the meta marker fall back to mtime, with
+    # equal mtimes (normal clean exit) resolving to 'final'.
+    for p in (old, new):
+        os.unlink(os.path.join(p, "_varsep_meta.json"))
     t = os.path.getmtime(new)
     os.utime(old, (t, t))
     restored = restore_checkpoint(str(tmp_path), template)
@@ -288,3 +334,23 @@ def test_write_eval_json_merges(tmp_path):
     write_eval_json(str(tmp_path), "wave", {"mse_t40": 3e-4})
     with open(path) as f:
         assert json.load(f)["wave"]["mse_t40"] == pytest.approx(3e-4)
+
+
+def test_write_eval_json_clears_stale_lock(tmp_path):
+    """A killed writer's leftover lock (old mtime) is removed and the
+    write proceeds under a fresh lock — quickly, not after a blind
+    timeout, and never lockless."""
+    import json
+    import time
+
+    from spatiotemporal_variable_separation_tpu.eval.common import write_eval_json
+
+    lock = str(tmp_path / "evals.json.lock")
+    open(lock, "w").close()
+    os.utime(lock, (time.time() - 60,) * 2)
+    t0 = time.monotonic()
+    path = write_eval_json(str(tmp_path), "wave", {"mse_t40": 1e-4})
+    assert time.monotonic() - t0 < 5.0
+    with open(path) as f:
+        assert json.load(f)["wave"]["mse_t40"] == pytest.approx(1e-4)
+    assert not os.path.exists(lock)  # released after the merge

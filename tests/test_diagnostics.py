@@ -117,6 +117,20 @@ def test_horizon_aware_verdict():
     # BN / |S| criteria are horizon-independent.
     assert is_unstable(1.0, bn_max_var=1e7, horizon=4)
     assert is_unstable(1.0, bn_max_var=1.0, s_mean_abs=600.0, horizon=4)
+    # a wildly divergent probe (gain**horizon would overflow a Python
+    # float and raise OverflowError under naive exponentiation) must be
+    # flagged, not crash the monitor mid-training.
+    assert is_unstable(2600.0, bn_max_var=1.0, horizon=95)
+
+
+def test_projected_growth_saturates():
+    from spatiotemporal_variable_separation_tpu.eval.diagnostics import (
+        projected_growth,
+    )
+
+    assert projected_growth(1.03, 95) == pytest.approx(1.03 ** 95)
+    assert projected_growth(2600.0, 95) == float("inf")
+    assert projected_growth(0.0, 95) == 0.0
 
 
 def test_protocol_horizon_mapping():

@@ -104,6 +104,35 @@ def test_supervise_partial_line_stall_detected(tmp_path, monkeypatch):
     assert any("killing pid" in l for l in logs), logs
 
 
+def test_supervise_grace_wait_drains_chatty_teardown(tmp_path, monkeypatch):
+    """A SIGTERMed child that logs heavily during its final save must not
+    deadlock on a full pipe (the supervisor used to block in a blind
+    wait() reading nothing; ~64 KiB of teardown output then blocked the
+    child in write() until the SIGKILL escalation destroyed the save)."""
+    (tmp_path / "chatty_teardown.py").write_text(
+        "import os, signal, sys, time\n"
+        "def onterm(sig, frame):\n"
+        "    for i in range(3000):\n"  # ~570 KB >> pipe capacity
+        "        sys.stdout.write('teardown %06d: ' % i + 'x' * 160 + '\\n')\n"
+        "    sys.stdout.flush()\n"
+        "    mark = os.path.join(os.path.dirname(__file__), 'saved.marker')\n"
+        "    open(mark, 'w').close()\n"
+        "    sys.exit(0)\n"
+        "signal.signal(signal.SIGTERM, onterm)\n"
+        "print('started', flush=True)\n"
+        "time.sleep(3600)\n")
+    monkeypatch.setenv("PYTHONPATH",
+                       f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
+    logs = []
+    rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=4,
+                       grace=20, max_restarts=0, log_fn=logs.append,
+                       entry="chatty_teardown", startup_grace=0)
+    assert rc == 1  # stall kill happened and max_restarts=0
+    # the cooperative save completed: the child was not SIGKILLed mid-write
+    assert (tmp_path / "saved.marker").exists(), "\n".join(logs[-5:])
+    assert sum("teardown" in l for l in logs) == 3000
+
+
 def test_supervise_paused_supervisor_does_not_kill_healthy_child(
         tmp_path, monkeypatch):
     """Regression: the supervisor losing the CPU must not kill the child.
