@@ -124,8 +124,12 @@ def test_supervise_grace_wait_drains_chatty_teardown(tmp_path, monkeypatch):
     monkeypatch.setenv("PYTHONPATH",
                        f"{tmp_path}{os.pathsep}{os.environ.get('PYTHONPATH', '')}")
     logs = []
-    rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=4,
-                       grace=20, max_restarts=0, log_fn=logs.append,
+    # stall_timeout must dominate interpreter start-up on a saturated host
+    # (see test_supervise_restarts_on_stall): a SIGTERM that lands before
+    # the child installs its handler kills it outright — a test race, not
+    # the pipe deadlock this guards against.
+    rc = sup.supervise(["--xp_dir", str(tmp_path)], stall_timeout=30,
+                       grace=60, max_restarts=0, log_fn=logs.append,
                        entry="chatty_teardown", startup_grace=0)
     assert rc == 1  # stall kill happened and max_restarts=0
     # the cooperative save completed: the child was not SIGKILLed mid-write
