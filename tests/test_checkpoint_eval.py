@@ -136,6 +136,16 @@ def test_repair_leftovers_recovers_and_cleans(tmp_path):
     os.makedirs(os.path.join(ckdir, ".tmp.final.1001"))
     list_checkpoints(str(tmp_path))
     assert os.path.isdir(os.path.join(ckdir, ".tmp.final.1001"))
+    os.rmdir(os.path.join(ckdir, ".tmp.final.1001"))
+
+    # kill landed after retiring the old save but before any staging was
+    # complete: only the .old survives — it must be restored, not deleted.
+    os.rename(os.path.join(ckdir, "final"), os.path.join(ckdir, ".old.final.999"))
+    p = os.path.join(ckdir, ".old.final.999")
+    os.utime(p, (os.path.getmtime(p) - 2 * ckpt_mod._REPAIR_MIN_AGE_S,) * 2)
+    assert list_checkpoints(str(tmp_path)) == ["final"]
+    restored = restore_checkpoint(str(tmp_path), template, name="final")
+    assert int(restored.step) == int(state.step)
 
 
 def test_restore_prefers_newest_not_stale_final(tmp_path):
