@@ -72,6 +72,14 @@ def bench_tpu():
         enc_hidden_size=64, dec_hidden_size=64, res_hidden_size=512,
         n_blocks=1, nt_cond=NT_COND, nt_pred=NT_PRED, offset=OFFSET,
         batch_size=BATCH, precision="bf16", seed=0)
+    # A/B hook: VARSEP_BENCH_CFG='{"bn_io": "compute"}' overrides config
+    # fields for perf experiments; the official driver run sets nothing.
+    overrides = os.environ.get("VARSEP_BENCH_CFG")
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **json.loads(overrides))
+        print(f"config overrides: {overrides}", file=sys.stderr)
     mesh = make_mesh()
     n_dev = mesh.devices.size
     model = build_separable_network(cfg)

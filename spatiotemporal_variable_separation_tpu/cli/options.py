@@ -125,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
     tpu_p.add_argument("--decode_mode", type=str, default="stepwise",
                        choices=["batched", "stepwise"],
                        help="Rollout decode strategy (stepwise = reference BN parity).")
+    tpu_p.add_argument("--bn_io", type=str, default="f32",
+                       choices=["f32", "compute"],
+                       help="BatchNorm IO dtype: f32 (torch-AMP parity) or "
+                            "'compute' (follow --precision; stats stay f32).")
     tpu_p.add_argument("--remat", action="store_true",
                        help="Rematerialize integrator steps (long-horizon memory).")
     tpu_p.add_argument("--steps_per_epoch", type=int, default=None)

@@ -94,6 +94,12 @@ class ExperimentConfig:
     # away while train-mode BN masks it (BASELINE.md "bf16 destabilizes").
     # 0.0 (default) = exact reference objective.
     lamb_s_norm: float = 0.0
+    # BatchNorm IO dtype: "f32" (default) keeps BN inputs/outputs in f32
+    # regardless of the compute policy (torch-AMP parity — norms are
+    # blacklisted from f16 there); "compute" lets BN read/write the compute
+    # dtype while batch statistics still accumulate in f32 (flax forces
+    # f32 reductions). A throughput lever on memory-bound conv steps.
+    bn_io: str = "f32"
     decode_mode: str = "stepwise"
     remat: bool = False
     num_devices: Optional[int] = None  # None = all visible devices
@@ -180,6 +186,8 @@ class ExperimentConfig:
             raise e(f"--precision must be one of {PRECISIONS}")
         if cfg.decode_mode not in DECODE_MODES:
             raise e(f"--decode_mode must be one of {DECODE_MODES}")
+        if cfg.bn_io not in ("f32", "compute"):
+            raise e(f"--bn_io must be 'f32' or 'compute', got {cfg.bn_io!r}")
         # factory.py:29,32 — architecture/image-size compatibility.
         dim = cfg.frame_shape[0] if len(cfg.frame_shape) == 3 else None
         if cfg.architecture == "dcgan" and dim != 64:

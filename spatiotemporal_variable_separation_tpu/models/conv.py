@@ -53,12 +53,13 @@ class DCGAN64Encoder(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_skip: bool = False, train: bool = False):
         x = merge_time(x)
         kw = dict(kernel=4, stride=2, padding=1, init_type=self.init_type,
-                  init_gain=self.init_gain, dtype=self.dtype)
+                  init_gain=self.init_gain, dtype=self.dtype, bn_dtype=self.bn_dtype)
         skips = []
         # First conv has no BatchNorm (reference conv.py:119).
         for i, (feats, bn) in enumerate(
@@ -84,12 +85,13 @@ class VGG64Encoder(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_skip: bool = False, train: bool = False):
         x = merge_time(x)
         kw = dict(kernel=3, stride=1, padding=1, act="leaky_relu",
-                  init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+                  init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype, bn_dtype=self.bn_dtype)
         stage_defs = [
             (False, [self.nf, self.nf]),
             (True, [self.nf * 2, self.nf * 2]),
@@ -108,7 +110,8 @@ class VGG64Encoder(nn.Module):
         # 4x4 valid conv to the code, BN but no activation (conv.py:170).
         x = ConvBlock(features=self.nh, kernel=4, stride=1, padding=0, act="none",
                       init_type=self.init_type, init_gain=self.init_gain,
-                      dtype=self.dtype, name="to_code")(x, train=train)
+                      dtype=self.dtype, bn_dtype=self.bn_dtype,
+                      name="to_code")(x, train=train)
         h = x.reshape(x.shape[0], self.nh)
         if return_skip:
             return h, skips[::-1]
@@ -131,6 +134,7 @@ class DCGAN64Decoder(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z1: jnp.ndarray, z2: jnp.ndarray,
@@ -138,7 +142,8 @@ class DCGAN64Decoder(nn.Module):
         assert (skip is None) == (not self.skip)
         z = mix_codes(self.mixing, z1, z2)
         h = z.reshape(z.shape[0], 1, 1, z.shape[-1])
-        kw = dict(init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+        kw = dict(init_type=self.init_type, init_gain=self.init_gain,
+                  dtype=self.dtype, bn_dtype=self.bn_dtype)
         h = ConvBlock(features=self.nf * 8, kernel=4, stride=1, padding=0,
                       transpose=True, act="leaky_relu", name="first_upconv", **kw)(h, train=train)
         widths = [self.nf * 4, self.nf * 2, self.nf]
@@ -167,6 +172,7 @@ class VGG64Decoder(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z1: jnp.ndarray, z2: jnp.ndarray,
@@ -175,10 +181,12 @@ class VGG64Decoder(nn.Module):
         z = mix_codes(self.mixing, z1, z2)
         h = z.reshape(z.shape[0], 1, 1, z.shape[-1])
         kw = dict(kernel=3, stride=1, padding=1, act="leaky_relu",
-                  init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+                  init_type=self.init_type, init_gain=self.init_gain,
+                  dtype=self.dtype, bn_dtype=self.bn_dtype)
         h = ConvBlock(features=self.nf * 8, kernel=4, stride=1, padding=0, transpose=True,
                       act="leaky_relu", init_type=self.init_type, init_gain=self.init_gain,
-                      dtype=self.dtype, name="first_upconv")(h, train=train)
+                      dtype=self.dtype, bn_dtype=self.bn_dtype,
+                      name="first_upconv")(h, train=train)
         if not self.vgg32:
             h = upsample_nearest_2x(h)
         stage_defs = [
@@ -211,12 +219,14 @@ class EncoderSST(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_skip: bool = False, train: bool = False):
         x = merge_time(x)
         kw = dict(kernel=3, stride=1, padding=1, act="leaky_relu",
-                  init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+                  init_type=self.init_type, init_gain=self.init_gain,
+                  dtype=self.dtype, bn_dtype=self.bn_dtype)
         h1 = x
         for j, w in enumerate([64, 64]):
             h1 = ConvBlock(features=w, name=f"conv1_{j}", **kw)(h1, train=train)  # (64,64,64)
@@ -248,13 +258,15 @@ class DecoderSSTSkip(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, s_code: jnp.ndarray, t_code: jnp.ndarray,
                  skip: Sequence[jnp.ndarray], train: bool = False):
         h3, h2, h1 = skip
         kw = dict(kernel=3, stride=1, padding=1, act="leaky_relu",
-                  init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+                  init_type=self.init_type, init_gain=self.init_gain,
+                  dtype=self.dtype, bn_dtype=self.bn_dtype)
         out = jnp.concatenate([s_code, t_code], axis=-1)
         for j, w in enumerate([256, 256, 128]):
             out = ConvBlock(features=w, name=f"conv1_{j}", **kw)(out, train=train)
@@ -280,13 +292,15 @@ class DecoderSST(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, s_code: jnp.ndarray, t_code: jnp.ndarray,
                  skip=None, train: bool = False):
         assert skip is None
         kw = dict(kernel=3, stride=1, padding=1, act="leaky_relu",
-                  init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+                  init_type=self.init_type, init_gain=self.init_gain,
+                  dtype=self.dtype, bn_dtype=self.bn_dtype)
         x = jnp.concatenate([s_code, t_code], axis=-1)
         for j, w in enumerate([256, 256, 128]):
             x = ConvBlock(features=w, name=f"conv1_{j}", **kw)(x, train=train)

@@ -36,6 +36,18 @@ def compute_dtype(precision: str) -> Dtype:
     return jnp.float32 if precision == "f32" else jnp.bfloat16
 
 
+def bn_io_dtype(cfg: ExperimentConfig) -> Dtype:
+    """BatchNorm IO dtype. ``--bn_io f32`` (default) keeps BN inputs and
+    outputs f32 under any compute policy (torch-AMP parity — norms are
+    blacklisted from f16 there); ``--bn_io compute`` follows the compute
+    dtype while batch/running statistics still accumulate in f32 (flax
+    forces f32 reductions). A measured byte-traffic lever on the
+    memory-bound conv train steps (BASELINE.md)."""
+    if cfg.bn_io == "compute":
+        return compute_dtype(cfg.precision)
+    return jnp.float32
+
+
 def integrator_dtype(precision: str) -> Dtype:
     """``mixed`` keeps the temporal integrator in f32 while conv stacks run
     bf16 on the MXU. MEASURED (round-2 A/B, 50-epoch MNIST/DCGAN run on
@@ -51,9 +63,12 @@ def integrator_dtype(precision: str) -> Dtype:
 
 def get_encoder(nn_type: str, frame_shape: Tuple[int, ...], output_size: int,
                 hidden_size: int, n_layers: int, init_type: str, init_gain: float,
-                dtype: Dtype = jnp.float32, name: Optional[str] = None):
+                dtype: Dtype = jnp.float32, name: Optional[str] = None,
+                bn_dtype: Dtype = jnp.float32):
     dim = frame_shape[0] if len(frame_shape) == 3 else None
     kw = dict(init_type=init_type, init_gain=init_gain, dtype=dtype, name=name)
+    if nn_type in ("dcgan", "vgg", "resnet", "encoderSST"):
+        kw["bn_dtype"] = bn_dtype  # MLP encoders have no BatchNorm
     if nn_type == "dcgan":
         return DCGAN64Encoder(nh=output_size, nf=hidden_size, **kw)
     if nn_type == "vgg":
@@ -70,10 +85,12 @@ def get_encoder(nn_type: str, frame_shape: Tuple[int, ...], output_size: int,
 def get_decoder(nn_type: str, frame_shape: Tuple[int, ...], last_activation: Optional[str],
                 hidden_size: int, n_layers: int, mixing: str, skipco: bool,
                 init_type: str, init_gain: float, dtype: Dtype = jnp.float32,
-                name: Optional[str] = None):
+                name: Optional[str] = None, bn_dtype: Dtype = jnp.float32):
     nc = frame_shape[-1]
     dim = frame_shape[0] if len(frame_shape) == 3 else None
     kw = dict(init_type=init_type, init_gain=init_gain, dtype=dtype, name=name)
+    if nn_type in ("dcgan", "vgg", "decoderSST"):
+        kw["bn_dtype"] = bn_dtype  # the MLP decoder has no BatchNorm
     if nn_type == "dcgan":
         return DCGAN64Decoder(nc=nc, nf=hidden_size, skip=skipco,
                               last_activation=last_activation, mixing=mixing, **kw)
@@ -93,10 +110,10 @@ def get_decoder(nn_type: str, frame_shape: Tuple[int, ...], last_activation: Opt
 
 def get_integrator(n_blocks: int, hidden_size: int, init_type: str, gain: float,
                    fully_conv: bool, dtype: Dtype = jnp.float32,
-                   name: Optional[str] = None):
+                   name: Optional[str] = None, bn_dtype: Dtype = jnp.float32):
     if fully_conv:
         return ConvResnet(n_blocks=n_blocks, nf=hidden_size, init_type=init_type,
-                          init_gain=gain, dtype=dtype, name=name)
+                          init_gain=gain, dtype=dtype, bn_dtype=bn_dtype, name=name)
     return MLPResnet(n_blocks=n_blocks, hidden_size=hidden_size, init_type=init_type,
                      init_gain=gain, dtype=dtype, name=name)
 
@@ -106,6 +123,7 @@ def build_separable_network(cfg: ExperimentConfig) -> SeparableNetwork:
     ``main.py:116-140``)."""
     cfg = cfg.validate()
     dtype = compute_dtype(cfg.precision)
+    bn_dt = bn_io_dtype(cfg)
     shape = cfg.frame_shape
 
     if cfg.no_s:
@@ -113,18 +131,18 @@ def build_separable_network(cfg: ExperimentConfig) -> SeparableNetwork:
     else:
         es = get_encoder(cfg.architecture, shape, cfg.code_size_s, cfg.enc_hidden_size,
                          cfg.enc_n_layers, cfg.init_encoder, cfg.gain_encoder,
-                         dtype=dtype, name="Es")
+                         dtype=dtype, name="Es", bn_dtype=bn_dt)
     et = get_encoder(cfg.architecture, shape, cfg.code_size_t, cfg.enc_hidden_size,
                      cfg.enc_n_layers, cfg.init_encoder, cfg.gain_encoder,
-                     dtype=dtype, name="Et")
+                     dtype=dtype, name="Et", bn_dtype=bn_dt)
     decoder = get_decoder(cfg.decoder_arch, shape, cfg.last_activation,
                           cfg.dec_hidden_size, cfg.dec_n_layers, cfg.mixing,
                           cfg.skipco, cfg.init_encoder, cfg.gain_encoder,
-                          dtype=dtype, name="decoder")
+                          dtype=dtype, name="decoder", bn_dtype=bn_dt)
     integrator = get_integrator(cfg.n_blocks, cfg.res_hidden_size, cfg.init_resnet,
                                 cfg.gain_resnet, cfg.fully_conv_integrator,
                                 dtype=integrator_dtype(cfg.precision),
-                                name="t_resnet")
+                                name="t_resnet", bn_dtype=bn_dt)
     return SeparableNetwork(Es=es, Et=et, t_resnet=integrator, decoder=decoder,
                             nt_cond=cfg.nt_cond, skipco=cfg.skipco,
                             decode_mode=cfg.decode_mode, remat=cfg.remat)

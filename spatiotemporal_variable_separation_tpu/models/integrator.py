@@ -49,12 +49,14 @@ class ConvResnet(nn.Module):
     init_type: str = "orthogonal"
     init_gain: float = 1.41
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         in_c = x.shape[-1]
         kw = dict(kernel=3, stride=1, padding=1, init_type=self.init_type,
-                  init_gain=self.init_gain, dtype=self.dtype)
+                  init_gain=self.init_gain, dtype=self.dtype,
+                  bn_dtype=self.bn_dtype)
         residuals = []
         for i in range(self.n_blocks):
             res = x

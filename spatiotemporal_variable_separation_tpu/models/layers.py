@@ -49,6 +49,7 @@ class ConvBlock(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -76,17 +77,21 @@ class ConvBlock(nn.Module):
                 name="conv",
             )(x)
         if self.bn:
-            # BatchNorm always computes in f32, matching torch/Apex AMP O1
-            # (norms are blacklisted from f16 there) and standard mixed-
-            # precision practice: bf16 batch statistics at large activation
-            # scale are what corrupted eval-mode quality in the round-2
-            # MNIST run (BASELINE.md "bf16 destabilizes" section).
+            # BatchNorm IO runs in ``bn_dtype`` — f32 by default, matching
+            # torch/Apex AMP O1 (norms are blacklisted from f16 there).
+            # Batch/running statistics accumulate in f32 REGARDLESS of
+            # bn_dtype (flax forces f32 reductions): bf16 batch statistics
+            # at large activation scale are what corrupted eval-mode
+            # quality in the round-2 MNIST run (BASELINE.md "bf16
+            # destabilizes" section). ``bn_dtype=compute`` (--bn_io
+            # compute) keeps the normalized tensor in the compute dtype —
+            # a byte-traffic lever on memory-bound conv steps.
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,  # torch BatchNorm2d momentum=0.1
                 epsilon=1e-5,
                 scale_init=bn_scale_init(self.init_gain),
-                dtype=jnp.float32,
+                dtype=self.bn_dtype,
                 name="bn",
             )(x)
             x = x.astype(self.dtype)

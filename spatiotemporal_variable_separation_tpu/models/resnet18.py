@@ -33,15 +33,16 @@ class BasicBlock(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kinit = conv_kernel_init(self.init_type, self.init_gain)
-        # BN in f32 regardless of compute dtype (torch-AMP parity; see
+        # BN IO in bn_dtype (f32 default: torch-AMP parity; see
         # layers.ConvBlock) — callers get activations cast back below.
         bn = lambda name: (lambda h: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            scale_init=bn_scale_init(self.init_gain), dtype=jnp.float32,
+            scale_init=bn_scale_init(self.init_gain), dtype=self.bn_dtype,
             name=name)(h).astype(self.dtype))
         residual = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
@@ -64,6 +65,7 @@ class ResNet18(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    bn_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_skip: bool = False, train: bool = False):
@@ -73,7 +75,7 @@ class ResNet18(nn.Module):
         x = nn.Conv(64, (5, 5), strides=(2, 2), padding=((3, 3), (3, 3)),
                     kernel_init=kinit, dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         scale_init=bn_scale_init(self.init_gain), dtype=jnp.float32,
+                         scale_init=bn_scale_init(self.init_gain), dtype=self.bn_dtype,
                          name="stem_bn")(x).astype(self.dtype)
         x = nn.relu(x)
         x = max_pool_3x3_s2_p1(x)
@@ -84,7 +86,8 @@ class ResNet18(nn.Module):
                 down = block == 0 and (s != 1 or inplanes != planes)
                 x = BasicBlock(planes=planes, stride=s, downsample=down,
                                init_type=self.init_type, init_gain=self.init_gain,
-                               dtype=self.dtype, name=f"layer{stage + 1}_block{block}")(x, train=train)
+                               dtype=self.dtype, bn_dtype=self.bn_dtype,
+                               name=f"layer{stage + 1}_block{block}")(x, train=train)
             inplanes = planes
         x = nn.Conv(self.pose_dim, (3, 3), padding="VALID", kernel_init=kinit,
                     dtype=self.dtype, name="conv_out")(x)
