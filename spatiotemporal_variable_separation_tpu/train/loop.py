@@ -199,6 +199,27 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
         host_step = int(state.step)
         start_epoch = host_step // n_steps
         metrics = None
+        # In-epoch loss logging is LAGGED by one log boundary: fetching the
+        # just-dispatched step's metrics drains the dispatch queue and
+        # idles the device for ~6 scalar round-trips per boundary —
+        # measured 27.5 -> 22.4 s/epoch on the flagship MNIST recipe over
+        # the tunneled platform (~20% of the step budget).  Holding the
+        # previous boundary's device metrics and fetching them 50 steps
+        # later overlaps the transfer with compute the queue already holds.
+        pending_log = None  # (step, epoch, device-resident metrics)
+
+        def flush_pending():
+            nonlocal pending_log
+            if pending_log is None:
+                return
+            pstep, pepoch, pmetrics = pending_log
+            pending_log = None
+            m = {k: float(v) for k, v in jax.device_get(pmetrics).items()}
+            log_fn(f"epoch {pepoch} step {pstep}: loss {m['loss']:.5f} "
+                   f"(ae {m['ae']:.5f} s_inv {m['s_inv']:.5f} "
+                   f"pred {m['forecast']:.5f} t_reg {m['t_reg']:.5f})")
+            if mlog is not None:
+                mlog.log(pstep, m)
         first_step_t0 = time.time()  # first update = silent remote compile
         # --profile traces steps 3..13 of the first epoch; the steps are
         # part of normal training (the same iterator continues afterwards),
@@ -233,12 +254,8 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                     profile = False
                     log_fn(f"profiler trace written to {cfg.xp_dir}/profile")
                 if log_every and host_step % log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    log_fn(f"epoch {epoch} step {host_step}: loss {m['loss']:.5f} "
-                           f"(ae {m['ae']:.5f} s_inv {m['s_inv']:.5f} "
-                           f"pred {m['forecast']:.5f} t_reg {m['t_reg']:.5f})")
-                    if mlog is not None:
-                        mlog.log(host_step, m)
+                    flush_pending()  # values ready ~log_every steps ago
+                    pending_log = (host_step, epoch, metrics)
             if metrics is not None:
                 # one hard fence per epoch: honest timing, bounded dispatch
                 # queue (float() because block_until_ready is unreliable on
@@ -246,9 +263,10 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                 float(metrics["loss"])
             dt = time.time() - t_epoch
             sps = n_steps * cfg.batch_size / dt if dt > 0 else 0.0
+            flush_pending()  # post-fence: the lagged boundary line is ready
             log_fn(f"epoch {epoch} done in {dt:.1f}s ({sps:.1f} samples/s)")
             if mlog is not None and metrics is not None:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 m["samples_per_sec"] = sps
                 mlog.log(host_step, m)
             if cfg.chkpt_interval is not None and (epoch + 1) % cfg.chkpt_interval == 0:
@@ -279,6 +297,10 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
         except RuntimeError as e:  # pragma: no cover — mid-step interrupt
             log_fn(f"final checkpoint skipped (state buffers donated "
                    f"mid-step): {e}")
+        try:
+            flush_pending()  # lagged boundary line, if one is still held
+        except Exception:  # pragma: no cover — interrupt before definition
+            pass
         if mlog is not None:
             mlog.close()
         if slog is not None:
