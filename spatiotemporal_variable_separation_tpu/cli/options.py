@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                          help="Accepted for parity; devices come from the JAX mesh.")
     distr_p.add_argument("--num_devices", type=int, metavar="N", default=None,
                          help="Number of mesh devices (default: all visible).")
+    distr_p.add_argument("--model_parallel", type=int, metavar="MP", default=1,
+                         help="Tensor-parallel model-axis size (>1 adds a 2-D "
+                              "(data, model) mesh; must divide the device count).")
     distr_p.add_argument("--num_workers", type=int, metavar="NB", default=4,
                          help="Host data-pipeline worker threads.")
 

@@ -103,6 +103,9 @@ class ExperimentConfig:
     decode_mode: str = "stepwise"
     remat: bool = False
     num_devices: Optional[int] = None  # None = all visible devices
+    # >1 adds a tensor-parallel "model" mesh axis (parallel/tensor.py);
+    # the data axis gets num_devices // model_parallel of the mesh.
+    model_parallel: int = 1
     steps_per_epoch: Optional[int] = None  # None = dataset-length derived
     num_workers: int = 4  # host data pipeline threads
     device: Optional[int] = None  # accepted for params.json parity; unused
@@ -213,6 +216,12 @@ class ExperimentConfig:
         # train.py:103 — offset is 0 or nt_cond.
         if cfg.offset not in (0, cfg.nt_cond):
             raise e("--offset must be 0 or equal to --nt_cond (reference train.py:103)")
+        if cfg.model_parallel < 1:
+            raise e(f"--model_parallel must be >= 1, got {cfg.model_parallel}")
+        if (cfg.num_devices is not None
+                and cfg.num_devices % cfg.model_parallel != 0):
+            raise e("--model_parallel must divide --num_devices "
+                    f"({cfg.model_parallel} vs {cfg.num_devices})")
         # main.py:98 — partial observations exclude convolutional archs.
         if cfg.data == "wave_partial" and cfg.architecture in ("dcgan", "vgg"):
             raise e("wave_partial requires a non-convolutional architecture (reference main.py:98)")

@@ -27,6 +27,7 @@ from spatiotemporal_variable_separation_tpu.data.registry import (
 )
 from spatiotemporal_variable_separation_tpu.models.factory import build_separable_network
 from spatiotemporal_variable_separation_tpu.parallel.mesh import (
+    MODEL_AXIS,
     batch_sharding,
     make_mesh,
     replicated_sharding,
@@ -42,7 +43,7 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                  monitor_stability: bool = False) -> TrainState:
     cfg = cfg.validate()
     if mesh is None:
-        mesh = make_mesh(cfg.num_devices)
+        mesh = make_mesh(cfg.num_devices, model_parallel=cfg.model_parallel)
     # Freeze steps_per_epoch across resumes: the MultiStepLR schedule is
     # step//steps_per_epoch-based (train/step.py:multistep_lr), so a resumed
     # run with a different dataset size or --steps_per_epoch would silently
@@ -89,7 +90,15 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
             template = jax.eval_shape(lambda: create_train_state(model, cfg, tx))
             state = restore_checkpoint(cfg.xp_dir, template)
             log_fn(f"resumed from step {int(state.step)}")
-    state = jax.device_put(state, replicated_sharding(mesh))
+    if MODEL_AXIS in mesh.shape and mesh.shape[MODEL_AXIS] > 1:
+        from spatiotemporal_variable_separation_tpu.parallel.tensor import (
+            state_shardings as _tp_shardings,
+        )
+
+        state_sh = _tp_shardings(state, mesh)
+    else:
+        state_sh = replicated_sharding(mesh)
+    state = jax.device_put(state, state_sh)
     data_shard = batch_sharding(mesh)
     if device_gen is not None:
         # single XLA program per step: on-device synthesis + full update.
@@ -98,9 +107,10 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
         )
 
         corpus = jax.device_put(device_gen.data, replicated_sharding(mesh))
-        fused_step = make_fused_datagen_step(model, cfg, tx, device_gen, mesh)
+        fused_step = make_fused_datagen_step(model, cfg, tx, device_gen, mesh,
+                                             state_shardings=state_sh)
     else:
-        step = make_train_step(model, cfg, tx, mesh)
+        step = make_train_step(model, cfg, tx, mesh, state_shardings=state_sh)
 
     log_fn(f"training: {cfg.data}/{cfg.architecture} on {mesh.devices.size} device(s), "
            f"{cfg.epochs} epochs x {n_steps} steps, batch {cfg.batch_size}, "

@@ -54,13 +54,18 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int) -> optax.Gradien
 
 
 def make_train_step(model, cfg: ExperimentConfig, tx: optax.GradientTransformation,
-                    mesh=None) -> Callable:
+                    mesh=None, state_shardings=None) -> Callable:
     """Build ``step(state, cond, target) -> (state, metrics)``, jitted.
 
     With ``mesh``: state replicated, batch sharded on the data axis, state
     donated.  BatchNorm batch statistics are computed over the *global*
     batch (XLA inserts the cross-replica reductions), which matches
     large-batch single-device semantics rather than per-replica stats.
+
+    ``state_shardings`` (optional, from ``parallel.tensor.state_shardings``)
+    replaces the replicated state sharding with a tensor-parallel one on a
+    2-D ``(data, model)`` mesh; the step function itself is unchanged —
+    GSPMD partitions the matmuls and inserts the collectives.
     """
     cfg = cfg.validate()
     step_fn = _make_step_fn(model, cfg, tx)
@@ -70,9 +75,10 @@ def make_train_step(model, cfg: ExperimentConfig, tx: optax.GradientTransformati
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(step_fn,
-                   in_shardings=(repl, data, data),
-                   out_shardings=(repl, repl),
+                   in_shardings=(state_sh, data, data),
+                   out_shardings=(state_sh, repl),
                    donate_argnums=0)
 
 
@@ -110,7 +116,7 @@ def _make_step_fn(model, cfg: ExperimentConfig, tx):
 
 def make_fused_datagen_step(model, cfg: ExperimentConfig,
                             tx: optax.GradientTransformation, generator,
-                            mesh=None) -> Callable:
+                            mesh=None, state_shardings=None) -> Callable:
     """Fuse on-device data synthesis into the train step: one XLA program
     generates the batch (sharded over the mesh) and runs the full update —
     the host only enqueues ``state, metrics = step(state, corpus)``.
@@ -136,7 +142,8 @@ def make_fused_datagen_step(model, cfg: ExperimentConfig,
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
     repl = replicated_sharding(mesh)
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(step_fn,
-                   in_shardings=(repl, repl),
-                   out_shardings=(repl, repl),
+                   in_shardings=(state_sh, repl),
+                   out_shardings=(state_sh, repl),
                    donate_argnums=0)
