@@ -16,6 +16,11 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, metavar="BATCH", default=64)
     p.add_argument("--n_forecast", type=int, metavar="N", default=100)
     p.add_argument("--iters", type=int, metavar="N", default=50)
+    p.add_argument("--precision", type=str, metavar="P", default=None,
+                   choices=("f32", "bf16", "mixed"),
+                   help="inference-only precision override (serve an "
+                        "f32-trained checkpoint with bf16 compute; see "
+                        "serve.Forecaster.from_xp_dir)")
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_devices_arg,
         add_platform_arg,
@@ -30,7 +35,8 @@ def main(argv=None):
     from spatiotemporal_variable_separation_tpu.serve import Forecaster
 
     fc = Forecaster.from_xp_dir(args.xp_dir, args.batch_size, args.n_forecast,
-                                epoch=args.epoch, mesh=mesh)
+                                epoch=args.epoch, mesh=mesh,
+                                precision=args.precision)
     print(json.dumps(fc.benchmark(n_iters=args.iters)))
 
 

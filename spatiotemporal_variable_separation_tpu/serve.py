@@ -79,11 +79,26 @@ class Forecaster:
 
     @classmethod
     def from_xp_dir(cls, xp_dir: str, batch_size: int, n_forecast: int,
-                    epoch: Optional[int] = None, mesh=None) -> "Forecaster":
+                    epoch: Optional[int] = None, mesh=None,
+                    precision: Optional[str] = None) -> "Forecaster":
+        """Load a checkpoint for serving.
+
+        ``precision`` overrides the training precision for inference only
+        (e.g. ``"bf16"`` to serve an f32-trained checkpoint with bf16
+        compute).  This is safe where bf16 *training* is not: the
+        instability documented in BASELINE.md is a training-loop feedback
+        (bf16 conv gradients -> BN-masked |S| runaway), while eval-mode
+        BatchNorm uses frozen running statistics and parameters stay f32 —
+        only activation compute is cast.  Measure quality on your protocol
+        before adopting; see BASELINE.md "bf16 serving" for the flagship
+        numbers.
+        """
         from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 
+        overrides = {"precision": precision} if precision else None
         model, variables, cfg = load_for_eval(
-            xp_dir, name=str(epoch) if epoch is not None else None)
+            xp_dir, name=str(epoch) if epoch is not None else None,
+            overrides=overrides)
         return cls(model, variables, cfg, batch_size, n_forecast, mesh=mesh)
 
     def predict(self, cond: np.ndarray) -> np.ndarray:

@@ -81,3 +81,13 @@ def test_forecaster_from_xp_dir_roundtrip(tmp_path, bundle):
                                rtol=0, atol=1e-6)
     stats = fc.benchmark(n_iters=3, warmup=1)
     assert stats["p50_ms"] > 0 and stats["frames_per_sec"] > 0
+
+    # inference-only precision override: bf16 compute over the f32
+    # checkpoint must build, run, and track the f32 forecast closely
+    # (params stay f32; only activations are cast).
+    fc16 = Forecaster.from_xp_dir(str(tmp_path), batch_size=4, n_forecast=5,
+                                  precision="bf16")
+    out32 = fc.predict(cond)
+    out16 = fc16.predict(cond)
+    assert out16.shape == out32.shape
+    assert np.max(np.abs(out16 - out32)) < 0.05  # bf16 has ~3 decimal digits
