@@ -15,6 +15,11 @@ def main(argv=None):
     p.add_argument("--frame_size", type=int, metavar="SIZE", default=64)
     p.add_argument("--size", type=int, metavar="SIZE", default=300)
     p.add_argument("--dt", type=float, metavar="DT", default=0.001)
+    p.add_argument("--format", type=str, metavar="FMT", default="npz",
+                   choices=("npz", "pt"), dest="fmt",
+                   help="on-disk format: 'npz' (native) or 'pt' (the "
+                        "reference generator's torch-pickle layout, "
+                        "consumable by its WaveEq loaders directly)")
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_platform_arg,
         apply_platform,
@@ -31,7 +36,7 @@ def main(argv=None):
     from spatiotemporal_variable_separation_tpu.data.wave_eq import generate_dataset
 
     generate_dataset(args.data_dir, args.size, args.seq_len, args.frame_size,
-                     args.dt, args.seed)
+                     args.dt, args.seed, fmt=args.fmt)
 
 
 if __name__ == "__main__":

@@ -139,12 +139,22 @@ def simulate_wave(c: jnp.ndarray, f0: jnp.ndarray, seq_len: int = 300,
 
 def generate_dataset(data_dir: str, size: int = 300, seq_len: int = 300,
                      frame_size: int = 64, dt: float = 0.001, seed: int = 42,
-                     batch: int = 32) -> None:
+                     batch: int = 32, fmt: str = "npz") -> None:
     """Generate the WaveEq dataset on device.
 
     Writes ``data/homogenous_wave{i}.npz`` files with fields ``simul``
     (float32 (seq_len, H, W)) and ``c``.  The RNG draw order per sequence
-    (f0 then c) matches ``gen_wave.py:121-130``."""
+    (f0 then c) matches ``gen_wave.py:121-130``.
+
+    ``fmt="pt"`` writes torch pickles in the reference generator's exact
+    layout instead (``{'simul': FloatTensor, 'c': float}``,
+    ``gen_wave.py:138``), so this device-side generator is a drop-in
+    replacement for the reference's hours-long host loop: its ``WaveEq``
+    loaders consume the output directly."""
+    if fmt not in ("npz", "pt"):
+        raise ValueError(f"fmt must be 'npz' or 'pt', got {fmt!r}")
+    if fmt == "pt":
+        import torch
     out_dir = os.path.join(data_dir, "data")
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -166,8 +176,13 @@ def generate_dataset(data_dir: str, size: int = 300, seq_len: int = 300,
                              seq_len=seq_len, frame_size=frame_size, dt=dt)
         sims = np.asarray(sims, np.float32)
         for j, i in enumerate(range(start, stop)):
-            np.savez(os.path.join(out_dir, f"homogenous_wave{i}.npz"),
-                     simul=sims[j], c=cs[i])
+            if fmt == "pt":
+                torch.save({"simul": torch.from_numpy(sims[j].copy()),
+                            "c": float(cs[i])},
+                           os.path.join(out_dir, f"homogenous_wave{i}.pt"))
+            else:
+                np.savez(os.path.join(out_dir, f"homogenous_wave{i}.npz"),
+                         simul=sims[j], c=cs[i])
 
 
 def _load_simul(path: str) -> np.ndarray:

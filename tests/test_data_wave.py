@@ -1,6 +1,8 @@
 """WaveEq simulator and dataset tests (golden-checked against an
 independent RK4 implementation)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -116,6 +118,30 @@ def test_generate_and_load_dataset(tmp_path):
                          downsample=2, n_pixels=10)
     c, t = part[3]
     assert c.shape == (3, 10, 1) and t.shape == (5, 10, 1)
+
+
+def test_generate_pt_format_reference_interchange(tmp_path):
+    """fmt='pt' writes the reference generator's exact torch-pickle layout
+    (``gen_wave.py:138``): same numbers as npz (same seed), loadable by
+    torch and by this framework's WaveEq loader alike."""
+    torch = pytest.importorskip("torch")
+    npz_dir = tmp_path / "npz"
+    pt_dir = tmp_path / "pt"
+    generate_dataset(str(npz_dir), size=3, seq_len=12, batch=3)
+    generate_dataset(str(pt_dir), size=3, seq_len=12, batch=3, fmt="pt")
+    names = sorted(os.listdir(pt_dir / "data"))
+    assert names == [f"homogenous_wave{i}.pt" for i in range(3)]
+    for i in range(3):
+        ref = np.load(str(npz_dir / "data" / f"homogenous_wave{i}.npz"))
+        d = torch.load(str(pt_dir / "data" / f"homogenous_wave{i}.pt"),
+                       map_location="cpu", weights_only=True)
+        assert isinstance(d["c"], float) and d["c"] == float(ref["c"])
+        np.testing.assert_array_equal(d["simul"].numpy(), ref["simul"])
+    # our loader reads the torch layout directly (.pt interchange)
+    train = WaveEq(str(pt_dir), nt_cond=2, seq_len=5, train=True, downsample=2)
+    assert train.data.shape[0] == 2
+    with pytest.raises(ValueError, match="fmt"):
+        generate_dataset(str(tmp_path / "bad"), size=1, seq_len=4, fmt="h5")
 
 
 def test_pixel_seed_parity(tmp_path):
