@@ -128,13 +128,26 @@ def export_torch_module(torch_module, params: dict,
         if f_kind != expected:
             raise ValueError(f"{loc}: layer-kind mismatch (flax side is {f_kind})")
         leaf = _get(params, f_path)
+
+        def _checked(t_param, value, what):
+            # torch accepts a mismatched-shape ``.data =`` silently, which
+            # would surface only as a confusing forward-time error in the
+            # reference's eval — mirror the import direction's per-leaf
+            # shape checks instead.
+            if tuple(t_param.shape) != np.shape(value):
+                raise ValueError(
+                    f"{loc}: {what} shape {np.shape(value)} does not match "
+                    f"torch {tuple(t_param.shape)} — wrong architecture "
+                    "config?")
+            t_param.data = _t(value)
+
         if t_kind == "bn":
-            m.weight.data = _t(leaf["scale"])
-            m.bias.data = _t(leaf["bias"])
+            _checked(m.weight, leaf["scale"], "BatchNorm scale")
+            _checked(m.bias, leaf["bias"], "BatchNorm bias")
             if batch_stats is not None:
                 stats_leaf = _get(batch_stats, f_path)
-                m.running_mean.data = _t(stats_leaf["mean"])
-                m.running_var.data = _t(stats_leaf["var"])
+                _checked(m.running_mean, stats_leaf["mean"], "running mean")
+                _checked(m.running_var, stats_leaf["var"], "running var")
             continue
         kernel = np.asarray(leaf["kernel"], np.float32)
         if t_kind == "dense":
@@ -162,12 +175,8 @@ def export_torch_module(torch_module, params: dict,
         else:  # convT
             w = kernel[::-1, ::-1].transpose(2, 3, 0, 1)
             last_channels = m.out_channels
-        if tuple(m.weight.shape) != np.shape(w):
-            raise ValueError(
-                f"{loc}: weight shape {np.shape(w)} does not match torch "
-                f"{tuple(m.weight.shape)} — wrong architecture config?")
-        m.weight.data = _t(w)
-        m.bias.data = _t(np.asarray(leaf["bias"], np.float32))
+        _checked(m.weight, w, "weight")
+        _checked(m.bias, np.asarray(leaf["bias"], np.float32), "bias")
 
 
 def _reorder_like(template, values):
@@ -199,9 +208,13 @@ def export_reference_checkpoint(xp_dir: str, out_ref_dir: str,
     from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 
     model, variables, cfg = load_for_eval(xp_dir, name=name)
-    if cfg.architecture == "mlp" and cfg.channels > 1:
+    if "mlp" in (cfg.architecture, cfg.decoder_arch) and cfg.channels > 1:
+        # Applies to the decoder side too: an MLP decoder's final dense
+        # emits pixels in this framework's channels-last flatten order,
+        # which the reference would reshape channel-major (C, H, W) — a
+        # silently wrong export without an output-row permutation.
         raise ValueError(
-            "cannot export an mlp-architecture experiment on "
+            "cannot export an mlp encoder/decoder experiment on "
             f"{cfg.channels}-channel data: the torch channel-major flatten "
             "order differs from this framework's channels-last order "
             "(see module docstring)")

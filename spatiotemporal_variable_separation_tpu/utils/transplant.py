@@ -267,12 +267,14 @@ def import_reference_checkpoint(ref_xp_dir: str, out_xp_dir: str,
         log_fn("reference params.json has no 'precision' — pinning f32 "
                "(torch training precision)")
     cfg = cfg.validate()
-    if cfg.architecture == "mlp" and cfg.channels > 1:
+    if "mlp" in (cfg.architecture, cfg.decoder_arch) and cfg.channels > 1:
         # Torch MLP encoders flatten (C, H, W) channel-major; this framework
         # flattens (H, W, C).  The orders coincide only for C == 1, so a
-        # multi-channel MLP transplant would silently permute every input.
+        # multi-channel MLP transplant would silently permute every input —
+        # and symmetrically an MLP *decoder*'s final dense emits pixels in
+        # one flatten order that the other framework reshapes in the other.
         raise ValueError(
-            "cannot import an mlp-architecture experiment on "
+            "cannot import an mlp encoder/decoder experiment on "
             f"{cfg.channels}-channel data: the torch channel-major flatten "
             "order differs from this framework's channels-last order "
             "(see module docstring)")

@@ -193,13 +193,22 @@ def test_export_no_s_constant(tmp_path):
     ours = _native_forecast(xp_dir, cond, 4)
     theirs = _torch_forecast(str(ref_dir), cond, 4, cfg)
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)
+    # exercises the `key not in params` branch (parameterless ConstantS)
+    # on both the export and the reimport side.
+    _assert_reimport_identity(tmp_path, xp_dir, ref_dir, state)
 
 
-def test_export_rejects_multichannel_mlp(tmp_path):
+@pytest.mark.parametrize("arch,dec_arch", [
+    ("mlp", "mlp"),          # mlp encoder (decoder defaults to encoder arch)
+    ("vgg", "mlp"),          # conv encoder, mlp *decoder*: the decoder's
+                             # final dense emits channels-last pixel rows
+])
+def test_export_rejects_multichannel_mlp(tmp_path, arch, dec_arch):
     # taxibj frames have 2 channels: torch's channel-major flatten differs
     # from this framework's channels-last order, so export must refuse
     # (mirrors the import-direction guard).
-    cfg = ExperimentConfig(data="taxibj", architecture="mlp", mixing="mul",
+    cfg = ExperimentConfig(data="taxibj", architecture=arch,
+                           decoder_architecture=dec_arch, mixing="mul",
                            code_size_s=8, code_size_t=8, enc_hidden_size=16,
                            dec_hidden_size=16, res_hidden_size=16, n_blocks=1,
                            enc_n_layers=2, dec_n_layers=2, nt_cond=2,
