@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument("--xp_dir", type=str, metavar="DIR", required=True,
                         help="Directory where models will be saved.")
-    parser.add_argument("--chkpt_interval", type=int, metavar="STEPS", default=None,
+    parser.add_argument("--chkpt_interval", type=int, metavar="EPOCHS", default=None,
                         help="If not None, save intermediate models every specified number of epochs.")
 
     amp_p = parser.add_argument_group(title="Mixed-precision training")

@@ -192,12 +192,22 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
         prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
         handler_installed = True
     try:
-        def updates(epoch):
+        def updates(epoch, skip=0):
+            # ``skip``: batches of this epoch already consumed before a
+            # mid-epoch interrupt.  Without it a resumed run re-runs the
+            # full epoch — overshooting the total step budget by up to
+            # n_steps - 1 and shifting every MultiStepLR milestone
+            # (caught by tests/test_resume_outcome.py).
             if device_gen is not None:
-                for _ in range(n_steps):
+                # batches are keyed on state.step, so skipping is implicit.
+                for _ in range(n_steps - skip):
                     yield lambda s: fused_step(s, corpus)
             else:
-                for cond, target in epoch_iterator(cfg, dataset, epoch):
+                it = epoch_iterator(cfg, dataset, epoch)
+                for _ in range(skip):
+                    next(it, None)  # deterministic per-epoch order: these
+                    # exact batches were trained on before the interrupt.
+                for cond, target in it:
                     c = jax.device_put(cond, data_shard)
                     t = jax.device_put(target, data_shard)
                     yield lambda s, c=c, t=t: step(s, c, t)
@@ -238,7 +248,9 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
         profile_ctx = None
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.time()
-            for do_update in updates(epoch):
+            in_epoch_skip = max(0, host_step - epoch * n_steps)
+            epoch_steps = n_steps - in_epoch_skip
+            for do_update in updates(epoch, in_epoch_skip):
                 if stop_requested.is_set():
                     raise KeyboardInterrupt  # between steps: state is live
                 state, metrics = do_update(state)
@@ -272,7 +284,7 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                 # the tunneled platform, CLAUDE.md).
                 float(metrics["loss"])
             dt = time.time() - t_epoch
-            sps = n_steps * cfg.batch_size / dt if dt > 0 else 0.0
+            sps = epoch_steps * cfg.batch_size / dt if dt > 0 else 0.0
             flush_pending()  # post-fence: the lagged boundary line is ready
             log_fn(f"epoch {epoch} done in {dt:.1f}s ({sps:.1f} samples/s)")
             if mlog is not None and metrics is not None:
