@@ -132,6 +132,9 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=["f32", "compute"],
                        help="BatchNorm IO dtype: f32 (torch-AMP parity) or "
                             "'compute' (follow --precision; stats stay f32).")
+    tpu_p.add_argument("--fused_loss", action="store_true",
+                       help="Fuse the forecast MSE into the stepwise decode "
+                            "(frame stack never materialized; same objective).")
     tpu_p.add_argument("--remat", action="store_true",
                        help="Rematerialize integrator steps (long-horizon memory).")
     tpu_p.add_argument("--steps_per_epoch", type=int, default=None)

@@ -101,6 +101,12 @@ class ExperimentConfig:
     # f32 reductions). A throughput lever on memory-bound conv steps.
     bn_io: str = "f32"
     decode_mode: str = "stepwise"
+    # Fuse the forecast MSE into the stepwise decode: per-step squared
+    # error accumulated as the rollout decodes, so the (B, horizon, H, W, C)
+    # f32 frame stack never round-trips HBM (the last byte lever of the
+    # memory-bound flagship step — measured in BASELINE.md round 3).
+    # Same objective, same gradients (summation order aside).
+    fused_loss: bool = False
     remat: bool = False
     num_devices: Optional[int] = None  # None = all visible devices
     # >1 adds a tensor-parallel "model" mesh axis (parallel/tensor.py);
@@ -189,6 +195,10 @@ class ExperimentConfig:
             raise e(f"--precision must be one of {PRECISIONS}")
         if cfg.decode_mode not in DECODE_MODES:
             raise e(f"--decode_mode must be one of {DECODE_MODES}")
+        if cfg.fused_loss and cfg.decode_mode != "stepwise":
+            raise e("--fused_loss accumulates the forecast MSE per decoded "
+                    "step and therefore requires --decode_mode stepwise "
+                    "(the batched fold materializes the frame stack anyway)")
         if cfg.bn_io not in ("f32", "compute"):
             raise e(f"--bn_io must be 'f32' or 'compute', got {cfg.bn_io!r}")
         # factory.py:29,32 — architecture/image-size compatibility.

@@ -145,4 +145,5 @@ def build_separable_network(cfg: ExperimentConfig) -> SeparableNetwork:
                                 name="t_resnet", bn_dtype=bn_dt)
     return SeparableNetwork(Es=es, Et=et, t_resnet=integrator, decoder=decoder,
                             nt_cond=cfg.nt_cond, skipco=cfg.skipco,
-                            decode_mode=cfg.decode_mode, remat=cfg.remat)
+                            decode_mode=cfg.decode_mode, remat=cfg.remat,
+                            fused_loss=cfg.fused_loss)

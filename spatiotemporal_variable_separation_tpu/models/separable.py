@@ -46,6 +46,9 @@ class SeparableNetwork(nn.Module):
     skipco: bool = False
     decode_mode: str = "stepwise"
     remat: bool = False
+    # training-objective fusion: accumulate the forecast MSE per decoded
+    # step instead of stacking frames (see compute_losses).
+    fused_loss: bool = False
 
     # -- encoding ------------------------------------------------------
     def encode_s(self, cond: jnp.ndarray, train: bool = False):
@@ -197,13 +200,33 @@ class SeparableNetwork(nn.Module):
 
         # -- forecast (train.py:132-140) --
         nt_pred = target.shape[1]
-        forecasts, t_codes, _, _ = self.get_forecast(
-            cond, nt_pred + offset, init_s_code=s_old_full, train=train)
         fc_target = full if offset != 0 else full[:, nt_cond:]
-        forecast = jnp.mean((forecasts.astype(f32) - fc_target.astype(f32)) ** 2)
+        if self.fused_loss and train:
+            # Fused decode+loss: the squared error of each decoded frame is
+            # reduced to a scalar inside the same XLA subgraph as the
+            # decoder pass that produced it, so the (B, horizon, *frame)
+            # f32 forecast stack is never materialized in HBM — same
+            # objective, same gradients (summation order aside; the
+            # equivalence is tested in tests/test_fused_loss.py).
+            t_code = self.encode_t(cond, train=train)
+            t_codes_nb, _ = self._integrate(t_code, nt_pred + offset, train)
+            n = t_codes_nb.shape[0]
+            sse = 0.0
+            for i in range(n):
+                frame = self.decoder(s_old, t_codes_nb[i], skip=skips,
+                                     train=train)
+                diff = frame.astype(f32) - fc_target[:, i].astype(f32)
+                sse = sse + jnp.sum(diff * diff)
+            forecast = sse / (n * fc_target[:, 0].astype(f32).size)
+            t0 = t_codes_nb[0].astype(f32)
+        else:
+            forecasts, t_codes, _, _ = self.get_forecast(
+                cond, nt_pred + offset, init_s_code=s_old_full, train=train)
+            forecast = jnp.mean(
+                (forecasts.astype(f32) - fc_target.astype(f32)) ** 2)
+            t0 = t_codes[:, 0].astype(f32)
 
         # -- T regularization (train.py:145-149) --
-        t0 = t_codes[:, 0].astype(f32)
         if average_tloss:
             t_reg = 0.5 * jnp.mean(t0 ** 2)
         else:
