@@ -314,6 +314,15 @@ def main():
         "final_loss": round(loss, 4),
         **stats,
         "baseline": baseline,
+        # Derived accelerator denominator (method + assumptions:
+        # BASELINE.md "Round-3: the A100 denominator"). The as-shipped
+        # band is the eager fp32/AMP reference on one A100-80GB-SXM;
+        # vs_a100_asshipped divides by the band's generous upper edge.
+        "a100_estimate": {
+            "asshipped_samples_per_sec": [2500, 10000],
+            "ideal_port_bound_samples_per_sec": 21500,
+            "vs_a100_asshipped_lower_bound": round(value / 10000, 2),
+        },
     }
     print(json.dumps(out))
 
