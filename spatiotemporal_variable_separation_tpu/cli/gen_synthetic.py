@@ -14,6 +14,9 @@ def main(argv=None):
     p.add_argument("--days_per_year", type=int, default=120,
                    help="taxibj: days per h5 year file")
     p.add_argument("--n_days", type=int, default=1600, help="sst: days/zone")
+    p.add_argument("--size", type=int, default=64,
+                   help="sst: grid edge (64 = reference zones; 256 = "
+                        "full-basin stretch)")
     p.add_argument("--zones", type=int, nargs="+", default=list(range(1, 30)))
     p.add_argument("--n_objects", type=int, default=200, help="chairs")
     args = p.parse_args(argv)
@@ -23,7 +26,8 @@ def main(argv=None):
     if args.corpus == "taxibj":
         sc.make_taxibj(args.data_dir, args.days_per_year, args.seed)
     elif args.corpus == "sst":
-        sc.make_sst(args.data_dir, args.zones, args.n_days, args.seed)
+        sc.make_sst(args.data_dir, args.zones, args.n_days, args.seed,
+                    size=args.size)
     elif args.corpus == "mnist":
         sc.make_mnist_standin(args.data_dir, args.seed)
     else:

@@ -132,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=["f32", "compute"],
                        help="BatchNorm IO dtype: f32 (torch-AMP parity) or "
                             "'compute' (follow --precision; stats stay f32).")
+    tpu_p.add_argument("--zone_size", type=int, default=64, metavar="N",
+                       help="SST grid edge (reference zones: 64). Full-basin "
+                            "stretch grids (e.g. 256) ride the same fully-"
+                            "convolutional encoderSST stack.")
     tpu_p.add_argument("--fused_loss", action="store_true",
                        help="Fuse the forecast MSE into the stepwise decode "
                             "(frame stack never materialized; same objective).")

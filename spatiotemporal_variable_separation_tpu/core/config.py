@@ -109,6 +109,10 @@ class ExperimentConfig:
     fused_loss: bool = False
     remat: bool = False
     num_devices: Optional[int] = None  # None = all visible devices
+    # SST grid edge (stretch configs): the reference hardcodes 64x64 zones
+    # (``sst.py:42``); the fully-convolutional encoderSST stack scales to
+    # full-basin grids (e.g. 256 -> a 64x64 spatial code). Only data=sst.
+    zone_size: int = 64
     # >1 adds a tensor-parallel "model" mesh axis (parallel/tensor.py);
     # the data axis gets num_devices // model_parallel of the mesh.
     model_parallel: int = 1
@@ -127,7 +131,7 @@ class ExperimentConfig:
         if self.data == "taxibj":
             return (32, 32, 2)
         if self.data == "sst":
-            return (64, 64, 1)
+            return (self.zone_size, self.zone_size, 1)
         if self.data == "wave":
             return (64, 64, 1)
         if self.data == "wave_partial":
@@ -199,6 +203,15 @@ class ExperimentConfig:
             raise e("--fused_loss accumulates the forecast MSE per decoded "
                     "step and therefore requires --decode_mode stepwise "
                     "(the batched fold materializes the frame stack anyway)")
+        if cfg.zone_size != 64:
+            if cfg.data != "sst":
+                raise e("--zone_size applies only to --data sst (other "
+                        "datasets have fixed reference geometries)")
+            if cfg.zone_size < 16 or cfg.zone_size % 4 != 0:
+                raise e("--zone_size must be a multiple of 4 and >= 16 "
+                        "(encoderSST pools twice, the decoder upsamples "
+                        "twice), got "
+                        f"{cfg.zone_size}")
         if cfg.bn_io not in ("f32", "compute"):
             raise e(f"--bn_io must be 'f32' or 'compute', got {cfg.bn_io!r}")
         # factory.py:29,32 — architecture/image-size compatibility.

@@ -32,7 +32,13 @@ def make_train_dataset(cfg: ExperimentConfig, synthetic_fallback: bool = False):
     if cfg.data == "sst":
         from spatiotemporal_variable_separation_tpu.data.sst import SST
 
-        return SST(cfg.data_dir, cfg.nt_cond, cfg.nt_pred, True, zones=cfg.zones)
+        ds = SST(cfg.data_dir, cfg.nt_cond, cfg.nt_pred, True, zones=cfg.zones)
+        if ds.zone_size != cfg.image_size:
+            raise ValueError(
+                f"corpus grids are {ds.zone_size}x{ds.zone_size} but the "
+                f"config expects {cfg.image_size} — pass --zone_size "
+                f"{ds.zone_size}")
+        return ds
     if cfg.data == "wave":
         from spatiotemporal_variable_separation_tpu.data.wave_eq import WaveEq
 

@@ -48,7 +48,6 @@ def extract_data(path: str, variables: Sequence[str]) -> Dict[str, np.ndarray]:
 
 class SST:
     var_names = ("thetao", "daily_mean", "daily_std")
-    zone_size = 64
 
     def __init__(self, data_dir: str, nt_cond: int, nt_pred: int, train: bool,
                  zones: Sequence[int] = range(1, 30), eval: bool = False):
@@ -64,11 +63,16 @@ class SST:
         self.climato: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
         lengths = set()
+        sizes = set()
         for zone in self.zones:
             z = extract_data(os.path.join(data_dir, f"data_{zone}.nc"),
                              self.var_names)
             thetao = z["thetao"]
             lengths.add(len(thetao))
+            if thetao.ndim != 3 or thetao.shape[1] != thetao.shape[2]:
+                raise ValueError(
+                    f"zone {zone}: thetao must be (T, N, N), got {thetao.shape}")
+            sizes.add(thetao.shape[1])
             clim_mean = z["daily_mean"].reshape(-1, 1, 1)
             clim_std = z["daily_std"].reshape(-1, 1, 1)
             thetao = (thetao - clim_mean) / clim_std
@@ -80,6 +84,11 @@ class SST:
             self.data[zone] = thetao.astype(np.float32)
         if len(lengths) != 1:
             raise ValueError(f"SST zones have unequal lengths: {sorted(lengths)}")
+        if len(sizes) != 1:
+            raise ValueError(f"SST zones have unequal grid sizes: {sorted(sizes)}")
+        # the reference hardcodes 64 (``sst.py:42``); inferred here so
+        # full-basin grids (e.g. 256x256, --zone_size) ride the same loader.
+        self.zone_size = sizes.pop()
         total = lengths.pop()
 
         self.first = 0 if train else int(0.8 * total)

@@ -67,11 +67,19 @@ def make_taxibj(data_dir: str, days_per_year: int = 120, seed: int = 0) -> None:
 
 
 def make_sst(data_dir: str, zones=range(1, 30), n_days: int = 1600,
-             seed: int = 0) -> None:
+             seed: int = 0, size: int = 64) -> None:
     """Per-zone temperature fields: seasonal climatology + advecting warm
-    anomalies + noise, in degrees-Kelvin-like range (~285-305)."""
+    anomalies + noise, in degrees-Kelvin-like range (~285-305).
+
+    ``size`` > 64 writes full-basin stretch grids (e.g. 256x256 for the
+    BASELINE.json stretch config) through :func:`_make_sst_basin`; the
+    default 64 path is kept bit-for-bit (RNG call order) so existing
+    corpora regenerate identically.
+    """
     import h5py
 
+    if size != 64:
+        return _make_sst_basin(data_dir, zones, n_days, seed, size)
     rng = np.random.RandomState(seed)
     os.makedirs(data_dir, exist_ok=True)
     yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
@@ -98,6 +106,66 @@ def make_sst(data_dir: str, zones=range(1, 30), n_days: int = 1600,
         fields += 0.3 * rng.randn(n_days, 64, 64).astype(np.float32)
         with h5py.File(os.path.join(data_dir, f"data_{zone}.nc"), "w") as f:
             f.create_dataset("thetao", data=fields.astype(np.float64))
+            f.create_dataset("daily_mean",
+                             data=fields.mean(axis=(1, 2)).astype(np.float64))
+            f.create_dataset("daily_std",
+                             data=fields.std(axis=(1, 2)).astype(np.float64))
+
+
+def _make_sst_basin(data_dir: str, zones, n_days: int, seed: int,
+                    size: int) -> None:
+    """Full-basin SST grids (stretch config): basin-scale gyre circulation +
+    seasonal cycle + advecting mesoscale anomalies, vectorized over days
+    (the 64px path's per-day Python loop would take hours at 256x256).
+
+    ``thetao`` is written CF-packed (int16 + ``scale_factor``/``add_offset``
+    attributes, like real NEMO exports) — 4x smaller on disk than float64
+    and it exercises the loader's CF-unpacking path at scale
+    (``data/sst.py:_read_nc_var``; reference ``sst.py:24-29``).
+    """
+    import h5py
+
+    rng = np.random.RandomState(seed + 7)  # distinct stream from the 64px path
+    os.makedirs(data_dir, exist_ok=True)
+    yy, xx = np.meshgrid(np.arange(size, dtype=np.float32),
+                         np.arange(size, dtype=np.float32), indexing="ij")
+    t = np.arange(n_days, dtype=np.float32)
+    n_anom = max(2, size // 32)  # mesoscale eddy count scales with the basin
+    for zone in zones:
+        season = 8.0 * np.sin(2 * np.pi * (t / 365.25) + rng.rand() * 6.28)
+        lat_gradient = (10.0 / size) * (yy - size / 2)
+        # basin-scale double gyre (stationary circulation pattern)
+        gyre = 1.5 * np.sin(2 * np.pi * xx / size) * np.sin(4 * np.pi * yy / size)
+        v = rng.uniform(0.1, 0.5, (n_anom, 2)) * rng.choice([-1, 1], (n_anom, 2))
+        amp = rng.uniform(1.5, 3.5, n_anom)
+        width = rng.uniform(60, 140, n_anom) * (size / 64.0) ** 2
+        phase = rng.uniform(0, size, (n_anom, 2))
+        fields = np.empty((n_days, size, size), np.float32)
+        # chunk over days: full (n_days, size, size, n_anom) broadcasting
+        # would blow host memory at 256px
+        chunk = max(1, int(2e8 // (size * size * n_anom * 4)))
+        for k0 in range(0, n_days, chunk):
+            ks = np.arange(k0, min(k0 + chunk, n_days), dtype=np.float32)
+            f = (295.0 + lat_gradient + gyre)[None] + season[k0:k0 + len(ks), None, None]
+            for a in range(n_anom):
+                cx = (phase[a, 0] + v[a, 0] * ks) % size
+                cy = (phase[a, 1] + v[a, 1] * ks) % size
+                dx = np.abs(xx[None] - cx[:, None, None])
+                dx = np.minimum(dx, size - dx)
+                dy = np.abs(yy[None] - cy[:, None, None])
+                dy = np.minimum(dy, size - dy)
+                f += amp[a] * np.exp(-(dx ** 2 + dy ** 2) / width[a])
+            fields[k0:k0 + len(ks)] = f
+        fields += 0.3 * rng.randn(n_days, size, size).astype(np.float32)
+        # CF packing: scale 1e-3 K resolution around the basin mean
+        offset = np.float64(fields.mean())
+        scale = np.float64(1e-3)
+        packed = np.clip(np.round((fields - offset) / scale),
+                         -32767, 32767).astype(np.int16)
+        with h5py.File(os.path.join(data_dir, f"data_{zone}.nc"), "w") as f:
+            d = f.create_dataset("thetao", data=packed)
+            d.attrs["scale_factor"] = scale
+            d.attrs["add_offset"] = offset
             f.create_dataset("daily_mean",
                              data=fields.mean(axis=(1, 2)).astype(np.float64))
             f.create_dataset("daily_std",
