@@ -23,6 +23,8 @@ import os
 import sys
 import time
 
+_PROC_T0 = time.perf_counter()
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 REFERENCE = "/root/reference"
@@ -120,8 +122,24 @@ def bench_tpu():
 
     # secondary: the fused on-device-synthesis training path (what the real
     # training loop runs for Moving MNIST) — generation + update in one
-    # XLA program per step.
+    # XLA program per step.  Skipped when the main measurement already ate
+    # most of the watchdog budget (degraded tunnel): the primary number
+    # must never be nulled by an optional extra compile.
     fused_sps = None
+    elapsed = time.perf_counter() - _PROC_T0
+    if elapsed > 2700.0:
+        print(f"fused-path measurement skipped: {elapsed:.0f}s elapsed, "
+              "preserving watchdog budget for the primary result",
+              file=sys.stderr)
+        return sps / n_dev, n_dev, float(metrics["loss"]), {
+            "step_ms": round(step_s * 1e3, 2),
+            "tflops_per_step": round(flops / 1e12, 3),
+            "mfu": round(flops / step_s / 197e12, 3) if flops else None,
+            "hbm_gb_per_step": round(hbm_bytes / 1e9, 2),
+            "hbm_costmodel_bw_ratio":
+                round(hbm_bytes / step_s / 819e9, 3) if hbm_bytes else None,
+            "fused_datagen_samples_per_sec_per_chip": None,
+        }
     try:
         from spatiotemporal_variable_separation_tpu.data.mnist_device import (
             DeviceMovingMNIST,
@@ -249,11 +267,15 @@ def preflight():
     def _die():
         print(json.dumps({
             "metric": "train_samples_per_sec_per_chip", "value": None,
-            "error": "TPU backend init timed out after 420s — tunnel "
+            "error": "TPU backend init timed out after 1500s — tunnel "
                      "likely wedged; restart the container and re-run"}))
         os._exit(2)
 
-    watchdog = threading.Timer(420.0, _die)
+    # 1500 s matches cli.supervise's --startup_grace: remote-compile/init
+    # latency on an aged container has been measured at ~14 min (CLAUDE.md),
+    # and the round-3 bench artifact was nulled by the previous 420 s
+    # ceiling on a degraded-but-possibly-alive tunnel.
+    watchdog = threading.Timer(1500.0, _die)
     watchdog.daemon = True
     watchdog.start()
     try:
@@ -292,12 +314,14 @@ def main():
     def _die():
         print(json.dumps({
             "metric": "train_samples_per_sec_per_chip", "value": None,
-            "error": "bench timed out after 2400s (device responsive at "
+            "error": "bench timed out after 4800s (device responsive at "
                      "preflight — compile or execution stalled on the "
                      "tunnel); restart the container and re-run"}))
         os._exit(3)
 
-    watchdog = threading.Timer(2400.0, _die)
+    # Budget covers two remote compiles (main step + fused-datagen step) at
+    # the degraded-tunnel worst case (~14 min each) plus measurement.
+    watchdog = threading.Timer(4800.0, _die)
     watchdog.daemon = True
     watchdog.start()
     value, n_dev, loss, stats = bench_tpu()

@@ -321,7 +321,7 @@ def _loader_proof(benchmark: str, d: str, zones=range(1, 30)) -> List[Check]:
 
 
 def verify(benchmark: str, data_dir: str, xp_dir: str = "$XP_DIR",
-           zones=range(1, 30), log_fn=print) -> bool:
+           zones=range(1, 30), log_fn=print, debug: bool = False) -> bool:
     layout = {
         "mnist": lambda: _layout_mnist(data_dir),
         "chairs": lambda: _layout_chairs(data_dir),
@@ -339,7 +339,7 @@ def verify(benchmark: str, data_dir: str, xp_dir: str = "$XP_DIR",
         except Exception as e:  # noqa: BLE001 — every failure is a report
             ok = False
             log_fn(f"  FAIL {label}: {type(e).__name__}: {e}")
-            if "--debug" in sys.argv:
+            if debug:
                 traceback.print_exc()
     if ok:
         train_cmd, eval_cmds = RECIPES[benchmark]
@@ -364,7 +364,8 @@ def main(argv=None) -> int:
                    help="Print full tracebacks for failing checks.")
     args = p.parse_args(argv)
     names = sorted(RECIPES) if args.benchmark == "all" else [args.benchmark]
-    ok = all([verify(n, args.data_dir, args.xp_dir, args.zones)
+    ok = all([verify(n, args.data_dir, args.xp_dir, args.zones,
+                     debug=args.debug)
               for n in names])
     return 0 if ok else 1
 

@@ -134,6 +134,15 @@ def epoch_iterator(cfg: ExperimentConfig, dataset, epoch: int) -> Iterator:
     n_steps = steps_per_epoch(cfg, dataset)
     if hasattr(dataset, "generate_batch"):
         nt_cond = cfg.nt_cond
+        if hasattr(dataset, "rng"):
+            # Re-seed the stream per (seed, epoch): generate_batch datasets
+            # are otherwise stateful across epochs, so a mid-epoch resume's
+            # skip-replay (train/loop.py) would train on different
+            # (distributionally identical) batches than the interrupted
+            # process did.  With a per-epoch seed the replay is exact on
+            # this path too, matching the map-style Batcher below.
+            dataset.rng = np.random.RandomState(
+                (cfg.seed * 1_000_003 + epoch) % 2**32)
 
         def gen():
             for _ in range(n_steps):

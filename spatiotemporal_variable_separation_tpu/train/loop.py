@@ -206,7 +206,10 @@ def run_training(cfg: ExperimentConfig, dataset=None, mesh=None,
                 it = epoch_iterator(cfg, dataset, epoch)
                 for _ in range(skip):
                     next(it, None)  # deterministic per-epoch order: these
-                    # exact batches were trained on before the interrupt.
+                    # exact batches were trained on before the interrupt
+                    # (map-style via the (seed+epoch)-seeded Batcher;
+                    # generate_batch streams are re-seeded per (seed,
+                    # epoch) in epoch_iterator for the same guarantee).
                 for cond, target in it:
                     c = jax.device_put(cond, data_shard)
                     t = jax.device_put(target, data_shard)

@@ -70,3 +70,28 @@ def test_explicit_steps_per_epoch_wins_over_frozen(tmp_path):
     state = run_training(cfg2, log_every=0, log_fn=logs.append, resume=True)
     assert not any("adopting" in l for l in logs)
     assert int(state.step) == 6
+
+def test_generate_batch_stream_replays_per_epoch():
+    """generate_batch datasets are re-seeded per (seed, epoch) by
+    epoch_iterator, so a mid-epoch resume's skip-replay trains on the
+    exact pre-interrupt batches on this path too (round-3 advisor note:
+    previously only the map-style Batcher path had this guarantee)."""
+    from spatiotemporal_variable_separation_tpu.data.moving_mnist import (
+        MovingMNIST,
+        synthetic_digits,
+    )
+    from spatiotemporal_variable_separation_tpu.data.registry import epoch_iterator
+
+    cfg = ExperimentConfig(
+        data="mnist", architecture="dcgan", code_size_s=8, code_size_t=8,
+        enc_hidden_size=8, dec_hidden_size=8, res_hidden_size=8, n_blocks=1,
+        nt_cond=2, nt_pred=2, offset=0, batch_size=4, seed=3,
+        steps_per_epoch=3, num_workers=0)
+    ds = MovingMNIST(synthetic_digits(16), 64, 2, 4, 4, True, 2, train=True,
+                     seed=cfg.seed)
+    first = [c.copy() for c, _ in epoch_iterator(cfg, ds, epoch=1)]
+    ds.generate_batch(4)  # perturb the stream state, as an interrupt would
+    replay = [c.copy() for c, _ in epoch_iterator(cfg, ds, epoch=1)]
+    other = [c.copy() for c, _ in epoch_iterator(cfg, ds, epoch=2)]
+    assert all(np.array_equal(a, b) for a, b in zip(first, replay))
+    assert not np.array_equal(first[0], other[0])
