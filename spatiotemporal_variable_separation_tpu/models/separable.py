@@ -11,7 +11,10 @@ TPU-native re-design of the reference core model
   semantics), which also measures ~11% FASTER on a v5e than folding the
   horizon into one (horizon x batch) decode (15.0 vs 16.9 ms on the
   flagship step): the per-frame batch already saturates the MXU and the
-  giant fold pays extra reshape/transpose traffic.  ``"batched"`` keeps
+  giant fold pays extra reshape/transpose traffic.  The stepwise (and
+  fused-loss) horizon loop is an ``nn.scan`` with ``batch_stats`` carry,
+  so the XLA program holds ONE decoder body regardless of horizon —
+  compile time stays flat out to t+95 and beyond.  ``"batched"`` keeps
   the folded variant selectable; eval always decodes batched (identical
   results, BN frozen);
 * S (and its skip feature maps) is computed once and broadcast across the
@@ -112,10 +115,22 @@ class SeparableNetwork(nn.Module):
             frames = dec(self, s_flat, t_flat, skips_flat)
             frames = frames.reshape((n, b) + frames.shape[1:])
             return jnp.moveaxis(frames, 0, 1)
-        # stepwise: reference-parity BatchNorm batch statistics (per step).
-        frames = [self.decoder(s_code, t_codes[i], skip=skips, train=train)
-                  for i in range(n)]
-        return jnp.stack(frames, axis=1)
+        # stepwise: reference-parity BatchNorm batch statistics (per step),
+        # scanned over the horizon — one decoder trace regardless of n, so
+        # program size and compile time stay constant at long horizons (the
+        # pre-round-4 Python loop unrolled n decoder copies into the XLA
+        # program).  batch_stats is the scan carry: each step's BN update
+        # feeds the next, exactly like the sequential loop.
+        def dec_step(mdl, carry, t_i):
+            return carry, mdl.decoder(s_code, t_i, skip=skips, train=train)
+
+        if self.remat and train:
+            dec_step = nn.remat(dec_step, prevent_cse=False)
+        scan = nn.scan(dec_step, length=n, split_rngs={"params": False},
+                       variable_broadcast="params",
+                       variable_carry="batch_stats")
+        _, frames = scan(self, (), t_codes)
+        return jnp.moveaxis(frames, 0, 1)
 
     # -- public API ----------------------------------------------------
     def get_forecast(
@@ -211,12 +226,23 @@ class SeparableNetwork(nn.Module):
             t_code = self.encode_t(cond, train=train)
             t_codes_nb, _ = self._integrate(t_code, nt_pred + offset, train)
             n = t_codes_nb.shape[0]
-            sse = 0.0
-            for i in range(n):
-                frame = self.decoder(s_old, t_codes_nb[i], skip=skips,
-                                     train=train)
-                diff = frame.astype(f32) - fc_target[:, i].astype(f32)
-                sse = sse + jnp.sum(diff * diff)
+            tgt_nb = jnp.moveaxis(fc_target, 1, 0)  # (n, B, *frame)
+
+            # Scanned like the stepwise decode above: sequential f32 sum in
+            # the same per-step order as the unrolled loop it replaces, with
+            # batch_stats as carry (identical BN-update stream).
+            def fused_step(mdl, sse, xs):
+                t_i, tgt_i = xs
+                frame = mdl.decoder(s_old, t_i, skip=skips, train=train)
+                diff = frame.astype(f32) - tgt_i.astype(f32)
+                return sse + jnp.sum(diff * diff), None
+
+            if self.remat:
+                fused_step = nn.remat(fused_step, prevent_cse=False)
+            scan = nn.scan(fused_step, length=n, split_rngs={"params": False},
+                           variable_broadcast="params",
+                           variable_carry="batch_stats")
+            sse, _ = scan(self, jnp.zeros((), f32), (t_codes_nb, tgt_nb))
             forecast = sse / (n * fc_target[:, 0].astype(f32).size)
             t0 = t_codes_nb[0].astype(f32)
         else:
