@@ -12,9 +12,11 @@ TPU-native re-design of the reference core model
   horizon into one (horizon x batch) decode (15.0 vs 16.9 ms on the
   flagship step): the per-frame batch already saturates the MXU and the
   giant fold pays extra reshape/transpose traffic.  The stepwise (and
-  fused-loss) horizon loop is an ``nn.scan`` with ``batch_stats`` carry,
-  so the XLA program holds ONE decoder body regardless of horizon —
-  compile time stays flat out to t+95 and beyond.  ``"batched"`` keeps
+  fused-loss) horizon loop is an ``nn.scan`` with ``batch_stats`` carry
+  and a bounded unroll (``_scan_unroll``): production horizons compile to
+  straight-line XLA (cross-step fusion — the rolled loop measured 25%
+  slower), longer ones to an 8-way-unrolled loop, so program size and
+  compile time stay flat out to t+95 and beyond.  ``"batched"`` keeps
   the folded variant selectable; eval always decodes batched (identical
   results, BN frozen);
 * S (and its skip feature maps) is computed once and broadcast across the
@@ -38,6 +40,19 @@ from flax import linen as nn
 def _tile_leading(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """(B, ...) -> (n*B, ...) by broadcasting a new leading axis."""
     return jnp.broadcast_to(x[None], (n,) + x.shape).reshape((n * x.shape[0],) + x.shape[1:])
+
+
+def _scan_unroll(n: int) -> int:
+    """Unroll factor for the horizon scans.
+
+    Full unroll at production horizons: straight-line XLA lets the
+    compiler fuse across decode steps, measured 18.6 -> 14.9 ms/step on
+    the flagship v5e config (the rolled while-loop body blocks cross-step
+    fusion and pays a dynamic-update-slice per trip).  Beyond 24 steps,
+    a bounded 8-way partial unroll keeps program size O(1) in the horizon
+    (the round-3 concern that motivated scanning in the first place).
+    """
+    return n if n <= 24 else 8
 
 
 class SeparableNetwork(nn.Module):
@@ -86,7 +101,7 @@ class SeparableNetwork(nn.Module):
         else:
             collections = dict(variable_broadcast=["params", "batch_stats"])
         scan = nn.scan(step, length=n_forecast - 1, split_rngs={"params": False},
-                       **collections)
+                       unroll=_scan_unroll(n_forecast - 1), **collections)
         _, (t_rest, residuals) = scan(self, t_code, None)
         t_codes = jnp.concatenate([t_code[None], t_rest], axis=0)
         return t_codes, residuals
@@ -128,7 +143,7 @@ class SeparableNetwork(nn.Module):
             dec_step = nn.remat(dec_step, prevent_cse=False)
         scan = nn.scan(dec_step, length=n, split_rngs={"params": False},
                        variable_broadcast="params",
-                       variable_carry="batch_stats")
+                       variable_carry="batch_stats", unroll=_scan_unroll(n))
         _, frames = scan(self, (), t_codes)
         return jnp.moveaxis(frames, 0, 1)
 
@@ -241,7 +256,8 @@ class SeparableNetwork(nn.Module):
                 fused_step = nn.remat(fused_step, prevent_cse=False)
             scan = nn.scan(fused_step, length=n, split_rngs={"params": False},
                            variable_broadcast="params",
-                           variable_carry="batch_stats")
+                           variable_carry="batch_stats",
+                           unroll=_scan_unroll(n))
             sse, _ = scan(self, jnp.zeros((), f32), (t_codes_nb, tgt_nb))
             forecast = sse / (n * fc_target[:, 0].astype(f32).size)
             t0 = t_codes_nb[0].astype(f32)
