@@ -73,7 +73,11 @@ def bench_tpu():
         data="mnist", architecture="dcgan", code_size_s=128, code_size_t=20,
         enc_hidden_size=64, dec_hidden_size=64, res_hidden_size=512,
         n_blocks=1, nt_cond=NT_COND, nt_pred=NT_PRED, offset=OFFSET,
-        batch_size=BATCH, precision="bf16", seed=0)
+        batch_size=BATCH, precision="bf16", seed=0,
+        # Round-4 A/B promoted --fused_loss into the flagship config:
+        # 14.05 ms vs 14.52 ms stepwise (50.2% vs 48.6% MFU) on one v5e.
+        # Same objective (equivalence-tested, tests/test_fused_loss.py).
+        fused_loss=True)
     # A/B hook: VARSEP_BENCH_CFG='{"bn_io": "compute"}' overrides config
     # fields for perf experiments; the official driver run sets nothing.
     overrides = os.environ.get("VARSEP_BENCH_CFG")
