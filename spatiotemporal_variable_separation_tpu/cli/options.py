@@ -191,6 +191,17 @@ def apply_platform(args) -> None:
         jax.config.update("jax_platforms", args.platform)
 
 
+def add_max_batches_arg(parser) -> None:
+    """Shared --max_batches flag for eval CLIs (subsampled scoring)."""
+    parser.add_argument(
+        "--max_batches", type=int, metavar="N", default=None,
+        help="Score only the first N eval batches (subsampled, NON-protocol "
+             "score — useful for cheap pinned-epoch selection curves on a "
+             "slow host). When set, the evals.json record carries "
+             "max_batches=N so a subsampled score can never be mistaken "
+             "for a full protocol run. Default: full test set.")
+
+
 def add_bn_reestimate_arg(parser) -> None:
     """Shared --bn_reestimate flag for eval CLIs (BN recalibration)."""
     parser.add_argument(

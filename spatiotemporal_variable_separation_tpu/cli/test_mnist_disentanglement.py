@@ -15,6 +15,7 @@ def main(argv=None):
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_bn_reestimate_arg,
         add_devices_arg,
+        add_max_batches_arg,
         add_platform_arg,
         mesh_from_args,
     )
@@ -22,6 +23,7 @@ def main(argv=None):
     add_devices_arg(p)
     add_platform_arg(p)
     add_bn_reestimate_arg(p)
+    add_max_batches_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 
@@ -29,14 +31,18 @@ def main(argv=None):
 
     means = evaluate(args.xp_dir, args.data_dir, args.nt_pred, args.batch_size,
                      args.test_seed, args.epoch, mesh=mesh,
-                     bn_reestimate=args.bn_reestimate)
+                     bn_reestimate=args.bn_reestimate,
+                     max_batches=args.max_batches)
     print("Results:")
     for k, v in means.items():
         print(k, v)
     from spatiotemporal_variable_separation_tpu.eval.common import write_eval_json
 
+    extra = ({"max_batches": args.max_batches}
+             if args.max_batches is not None else {})
     write_eval_json(args.xp_dir, f"mnist_swap_t{args.nt_pred}", means,
-                    epoch=args.epoch, bn_reestimate=args.bn_reestimate)
+                    epoch=args.epoch, bn_reestimate=args.bn_reestimate,
+                    **extra)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ def main(argv=None):
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_bn_reestimate_arg,
         add_devices_arg,
+        add_max_batches_arg,
         add_platform_arg,
         mesh_from_args,
     )
@@ -26,6 +27,7 @@ def main(argv=None):
     add_devices_arg(p)
     add_platform_arg(p)
     add_bn_reestimate_arg(p)
+    add_max_batches_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 
@@ -35,6 +37,7 @@ def main(argv=None):
                      zones=args.zones,
                      reference_broadcast=args.reference_broadcast, mesh=mesh,
                      bn_reestimate=args.bn_reestimate,
+                     max_batches=args.max_batches,
                      save_arrays=args.save_arrays)
     print(f"MSE at t+10: {means['mse_t10']}")
     print(f"MSE at t+6: {means['mse_t6']}")
@@ -46,9 +49,11 @@ def main(argv=None):
     # overwrite the reference protocol's (zones 17-20) record.
     protocol = ("sst" if args.zones == list(range(17, 21)) else
                 "sst_zones_" + "-".join(str(z) for z in args.zones))
+    extra = ({"max_batches": args.max_batches}
+             if args.max_batches is not None else {})
     write_eval_json(args.xp_dir, protocol, means, epoch=args.epoch,
                     zones=args.zones, bn_reestimate=args.bn_reestimate,
-                    reference_broadcast=args.reference_broadcast)
+                    reference_broadcast=args.reference_broadcast, **extra)
 
 
 if __name__ == "__main__":
