@@ -36,11 +36,12 @@ RECIPES = {
     "mnist": (
         f"python -m {MODULE}.cli.main --data mnist --epochs 800 --beta1 0.5"
         " --scheduler --precision f32 --xp_dir {x} --data_dir {d}",
-        [f"python -m {MODULE}.cli.test_mnist --xp_dir {{x}} --data_dir {{d}}",
+        [f"python -m {MODULE}.cli.test_mnist --xp_dir {{x}} --data_dir {{d}}"
+         " --nt_pred 10",
          f"python -m {MODULE}.cli.test_mnist --xp_dir {{x}} --data_dir {{d}}"
          " --nt_pred 95",
          f"python -m {MODULE}.cli.test_mnist_disentanglement --xp_dir {{x}}"
-         " --data_dir {d}"],
+         " --data_dir {d} --nt_pred 10"],
     ),
     "chairs": (
         f"python -m {MODULE}.cli.main --data chairs --epochs 120"
@@ -48,7 +49,7 @@ RECIPES = {
         " --decoder_architecture dcgan --lamb_ae 1 --lamb_s 1"
         " --xp_dir {x} --data_dir {d}",
         [f"python -m {MODULE}.cli.test_chairs_disentanglement --xp_dir {{x}}"
-         " --data_dir {d}"],
+         " --data_dir {d} --nt_pred 10"],
     ),
     "taxibj": (
         f"python -m {MODULE}.cli.main --data taxibj --nt_cond 4 --nt_pred 4"

@@ -87,3 +87,31 @@ def test_cli_exit_codes(tmp_path):
     generate_dataset(str(tmp_path), size=5, seq_len=100, batch=5)
     assert verify_corpus.main(["wave", "--data_dir", str(tmp_path)]) == 0
     assert verify_corpus.main(["taxibj", "--data_dir", str(tmp_path)]) == 1
+
+
+class _Parsed(Exception):
+    """Sentinel raised right after a successful real argparse parse."""
+
+
+def test_printed_commands_parse_against_real_clis(monkeypatch):
+    """Every reproduction command verify_corpus prints must be accepted by
+    the argparse tree of the CLI it names (a chairs eval command once
+    omitted the required --nt_pred and would have crashed as printed)."""
+    import argparse
+    import importlib
+    import shlex
+
+    real = argparse.ArgumentParser.parse_args
+
+    def probe(self, args=None, namespace=None):
+        ns = real(self, args, namespace)
+        raise _Parsed(ns)
+
+    monkeypatch.setattr(argparse.ArgumentParser, "parse_args", probe)
+    for train_cmd, eval_cmds in verify_corpus.RECIPES.values():
+        for cmd in [train_cmd] + eval_cmds:
+            argv = shlex.split(cmd.format(d="/tmp/d", x="/tmp/x"))
+            assert argv[:2] == ["python", "-m"], cmd
+            mod = importlib.import_module(argv[2])
+            with pytest.raises(_Parsed):
+                mod.main(argv[3:])
