@@ -212,6 +212,36 @@ def add_bn_reestimate_arg(parser) -> None:
              "trained.")
 
 
+def add_eval_resume_arg(parser) -> None:
+    """Shared --resume flag for eval CLIs (chunk-level auto-resume).
+
+    Also what ``cli.supervise --entry <eval CLI>`` appends when it relaunches
+    a stalled protocol, so the heavy evals can run unattended through a
+    flaky device tunnel (eval.common.EvalProgress)."""
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Continue a killed/frozen run from its per-batch progress file "
+             "instead of rescoring from the start; a completed run leaves "
+             "no progress file, so --resume on a fresh protocol is a no-op.")
+
+
+def add_archive_args(parser, default_save: int = 1) -> None:
+    """Shared archive controls for eval CLIs that write npz frame archives."""
+    parser.add_argument(
+        "--save_arrays", type=int, choices=(0, 1), default=default_save,
+        metavar="{0,1}",
+        help="Write the npz frame archives (predictions/gt/cond/swaps). "
+             "Archiving is the one big device->host fetch of the protocol; "
+             "metrics are computed on device either way. "
+             f"Default: {default_save}.")
+    parser.add_argument(
+        "--archive_cap", type=int, metavar="N", default=0,
+        help="Archive only the first N sequences (0 = all, reference "
+             "behavior). The 5,000-sequence 95-frame MNIST protocol "
+             "archives ~12 GB uncapped; metrics always cover every "
+             "sequence.")
+
+
 def mesh_from_args(args):
     """Build the 1-D data mesh requested by --devices (None = no mesh).
     Applies --platform first (the mesh would otherwise initialize the

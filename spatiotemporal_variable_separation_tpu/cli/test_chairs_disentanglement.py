@@ -15,6 +15,7 @@ def main(argv=None):
     from spatiotemporal_variable_separation_tpu.cli.options import (
         add_bn_reestimate_arg,
         add_devices_arg,
+        add_eval_resume_arg,
         add_max_batches_arg,
         add_platform_arg,
         mesh_from_args,
@@ -24,6 +25,7 @@ def main(argv=None):
     add_platform_arg(p)
     add_bn_reestimate_arg(p)
     add_max_batches_arg(p)
+    add_eval_resume_arg(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 
@@ -32,7 +34,7 @@ def main(argv=None):
     means = evaluate(args.xp_dir, args.data_dir, args.nt_pred, args.batch_size,
                      args.test_seed, args.epoch, mesh=mesh,
                      bn_reestimate=args.bn_reestimate,
-                     max_batches=args.max_batches)
+                     max_batches=args.max_batches, resume=args.resume)
     print("Results:")
     for k, v in means.items():
         print(k, v)

@@ -12,8 +12,10 @@ def main(argv=None):
     p.add_argument("--nt_pred", type=int, metavar="PRED", required=True)
     p.add_argument("--test_seed", type=int, metavar="SEED", default=1)
     from spatiotemporal_variable_separation_tpu.cli.options import (
+        add_archive_args,
         add_bn_reestimate_arg,
         add_devices_arg,
+        add_eval_resume_arg,
         add_max_batches_arg,
         add_platform_arg,
         mesh_from_args,
@@ -23,6 +25,8 @@ def main(argv=None):
     add_platform_arg(p)
     add_bn_reestimate_arg(p)
     add_max_batches_arg(p)
+    add_eval_resume_arg(p)
+    add_archive_args(p)
     args = p.parse_args(argv)
     mesh = mesh_from_args(args)
 
@@ -31,7 +35,9 @@ def main(argv=None):
     means = evaluate(args.xp_dir, args.data_dir, args.nt_pred, args.batch_size,
                      args.test_seed, args.epoch, mesh=mesh,
                      bn_reestimate=args.bn_reestimate,
-                     max_batches=args.max_batches)
+                     max_batches=args.max_batches,
+                     save_arrays=bool(args.save_arrays), resume=args.resume,
+                     archive_cap=args.archive_cap)
     print("Results:")
     for k, v in means.items():
         print(k, v)

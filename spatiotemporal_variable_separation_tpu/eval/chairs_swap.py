@@ -10,7 +10,6 @@ reduces to a plain metric)."""
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 from typing import Dict, Optional
 
 import numpy as np
@@ -18,10 +17,10 @@ import numpy as np
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.chairs import Chairs
 from spatiotemporal_variable_separation_tpu.eval.common import (
-    bn_reestimate_pass,
+    EvalProgress,
     Evaluator,
     batch_indices,
-    pixel_metrics,
+    bn_reestimate_pass,
 )
 
 
@@ -32,11 +31,21 @@ class SwapDataset(Chairs):
                  seq_len=20, image_size=64, cache_frames=False):
         super().__init__(train, data_root, nt_cond, seq_len=seq_len,
                          image_size=image_size, cache_frames=cache_frames)
-        self._rng = rng
+        # Pre-draw the per-index content choices at construction.  The
+        # legacy RandomState consumes its stream identically whether drawn
+        # one scalar at a time or up front, so sequential access sees the
+        # same values as the draw-on-access variant — but ``__getitem__``
+        # becomes a pure function of the index, which chunk-level eval
+        # resume requires (skipped batches must not shift later draws) and
+        # which makes the padded last batch's repeated index return the
+        # same content chair instead of consuming fresh draws.
+        n = len(self)
+        self._draws = [(rng.randint(self.stop_idx - self.start_idx),
+                        rng.randint(self.max_length - self.seq_len))
+                       for _ in range(n)]
 
     def __getitem__(self, index):
-        idx_content = self._rng.randint(self.stop_idx - self.start_idx)
-        id_st_content = self._rng.randint(self.max_length - self.seq_len)
+        idx_content, id_st_content = self._draws[index]
         seq = self.get_sequence(index, chosen_idx=idx_content,
                                 chosen_id_st=id_st_content).astype(np.float32) / 255.0
         seq_swap = self.get_sequence(index, chosen_idx=idx_content
@@ -48,7 +57,8 @@ class SwapDataset(Chairs):
 def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
              test_seed: int = 1, epoch: Optional[int] = None,
              max_batches: Optional[int] = None, model_bundle=None,
-             mesh=None, bn_reestimate: int = 0) -> Dict[str, float]:
+             mesh=None, bn_reestimate: int = 0,
+             resume: bool = False) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -67,22 +77,31 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
                            cache_frames=shared_cache)
 
     bn_reestimate_pass(ev, test_set, batch_size, nt_test, bn_reestimate)
-    results = defaultdict(list)
     n = len(test_set)
-    for idx, n_real in batch_indices(n, min(batch_size, n), max_batches):
+    prog = EvalProgress(
+        xp_dir, f"chairs_swap_t{nt_pred}",
+        meta=dict(n=n, batch_size=min(batch_size, n), nt_pred=nt_pred,
+                  nt_cond=nt_cond, test_seed=test_seed,
+                  epoch=-1 if epoch is None else epoch,
+                  max_batches=max_batches or 0, bn_reestimate=bn_reestimate),
+        resume=resume)
+    for b, (idx, n_real) in enumerate(
+            batch_indices(n, min(batch_size, n), max_batches)):
+        if prog.skip(b):
+            continue
         swap_items = [swap_set[i] for i in idx]
         x_cond = np.stack([it[0] for it in swap_items])     # content sequence
         gt_swap = np.stack([it[3] for it in swap_items])    # content w/ test dynamics
-
-        _, s_code = ev.forecast(x_cond, nt_test)
         test_cond = np.stack([test_set[i][0] for i in idx])
-        swap_pred = np.asarray(
-            ev.forecast(test_cond, nt_test, init_s_code=s_code)[0][:, nt_cond:],
-            np.float32)
-        for k, v in pixel_metrics(swap_pred, gt_swap).items():
-            results[k].append(v[:n_real])
 
-    means = {k: float(np.concatenate(v).mean()) for k, v in results.items()}
-    np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"),
-                        **{k: np.concatenate(v) for k, v in results.items()})
+        # fused device program: S from content, dynamics from test, metrics
+        # reduced on device — no frame stack ever crosses the tunnel (the
+        # round-4 freeze hit exactly this protocol's first rollout fetch).
+        mets, _ = ev.score_swap(x_cond, test_cond, gt_swap, nt_skip=nt_cond)
+        prog.add(b, {k: v[:n_real] for k, v in mets.items()})
+
+    results = prog.arrays()
+    means = {k: float(v.mean()) for k, v in results.items()}
+    np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"), **results)
+    prog.finalize()
     return means

@@ -50,11 +50,52 @@ class Evaluator:
                                       False, method=model.get_forecast)
             return fc
 
+        # Fused rollout+metric programs: the pixel-metric reduction runs in
+        # the same XLA computation as the rollout, so a batch's score comes
+        # back as O(batch) scalars instead of a (B, T, H, W, C) frame stack.
+        # This is the freeze-resistance fix for the flaky device->host
+        # tunnel (CLAUDE.md): the heavy protocols fetch ~3 orders of
+        # magnitude fewer bytes per batch; frames stay device-resident and
+        # are only fetched on the opt-in archive path.
+        def score_fn(variables, cond, gt, n_forecast, nt_skip, max_val):
+            fc, _, s, _ = model.apply(variables, cond, n_forecast,
+                                      train=False, method=model.get_forecast)
+            pred = fc[:, nt_skip:]
+            return per_sequence_metrics(pred, gt, max_val), pred, s
+
+        def swap_fn(variables, content_cond, test_cond, gt_swap, n_forecast,
+                    nt_skip, max_val):
+            # S from the content sequence, dynamics from the test sequence
+            # (the disentanglement protocols, reference
+            # ``test/mnist/test_disentanglement.py:173-184``).  ``encode_s``
+            # replaces the full content rollout the two-call path ran just
+            # to extract S — identical S (get_forecast computes it the same
+            # way), one integrator/decode pass saved.
+            s = model.apply(variables, content_cond, method=model.encode_s)
+            fc, _, _, _ = model.apply(variables, test_cond, n_forecast, None,
+                                      s, False, method=model.get_forecast)
+            pred = fc[:, nt_skip:]
+            if gt_swap.ndim == pred.ndim + 1:
+                # (B, n_perms, P, H, W, C): score every digit-to-trajectory
+                # assignment, keep the best per metric (min MSE / max PSNR /
+                # max SSIM independently, matching the reference).
+                per = jax.vmap(lambda g: per_sequence_metrics(pred, g, max_val),
+                               in_axes=1, out_axes=1)(gt_swap)
+                mets = {"mse": per["mse"].min(axis=1),
+                        "psnr": per["psnr"].max(axis=1),
+                        "ssim": per["ssim"].max(axis=1)}
+            else:
+                mets = per_sequence_metrics(pred, gt_swap, max_val)
+            return mets, pred
+
+        # statics passed positionally: pjit rejects kwargs with in_shardings
         if mesh is None:
             self._batch_shard = None
             self._forecast = jax.jit(fc_fn, static_argnames=("n_forecast",))
             self._forecast_with_s = jax.jit(fc_s_fn,
                                             static_argnames=("n_forecast",))
+            self._score_jit = jax.jit(score_fn, static_argnums=(3, 4, 5))
+            self._swap_jit = jax.jit(swap_fn, static_argnums=(4, 5, 6))
             self.variables = variables
         else:
             from spatiotemporal_variable_separation_tpu.parallel.mesh import (
@@ -71,6 +112,10 @@ class Evaluator:
             self._forecast_with_s = jax.jit(fc_s_fn,
                                             static_argnames=("n_forecast",),
                                             in_shardings=(repl, data, data))
+            self._score_jit = jax.jit(score_fn, static_argnums=(3, 4, 5),
+                                      in_shardings=(repl, data, data))
+            self._swap_jit = jax.jit(swap_fn, static_argnums=(4, 5, 6),
+                                     in_shardings=(repl, data, data, data))
             self.variables = jax.device_put(variables, repl)
 
     def reestimate_batch_stats(self, cond_batches, n_forecast: int) -> int:
@@ -156,6 +201,52 @@ class Evaluator:
             jax.tree_util.tree_map(self._pad, init_s_code), n_forecast)
         return fc[:b], init_s_code
 
+    # -- fused device-side scoring (freeze-resistant eval path) --------
+    def score(self, cond, gt, nt_skip: int, max_val: float = 1.0):
+        """Roll out ``nt_skip + gt.shape[1]`` frames, score the prediction
+        window against ``gt`` on device, fetch ONLY the per-sequence metric
+        scalars.
+
+        Returns ``(metrics, pred, s)`` where ``metrics`` maps
+        mse/psnr/ssim to host ``(B,)`` arrays while ``pred`` (the sliced
+        prediction window) and ``s`` (the S code pytree) stay
+        device-resident — the opt-in archive path fetches them explicitly,
+        everything else never moves frames over the tunnel."""
+        cond, gt = jnp.asarray(cond), jnp.asarray(gt)
+        b = cond.shape[0]
+        n_forecast = nt_skip + gt.shape[1]
+        if self._batch_shard is not None:
+            cond, gt = self._pad(cond), self._pad(gt)
+        mets, pred, s = self._score_jit(self.variables, cond, gt,
+                                        n_forecast, nt_skip, max_val)
+        mets = {k: np.asarray(v[:b]) for k, v in mets.items()}
+        return mets, pred[:b], jax.tree_util.tree_map(lambda a: a[:b], s)
+
+    def score_swap(self, content_cond, test_cond, gt_swap, nt_skip: int,
+                   max_val: float = 1.0):
+        """Disentanglement scoring in one fused program: S from
+        ``content_cond``, dynamics from ``test_cond``, metrics against
+        ``gt_swap`` — best-over-permutations when ``gt_swap`` carries a
+        per-permutation axis ``(B, n_perms, P, H, W, C)``.
+
+        Returns ``(metrics, pred)``: host ``(B,)`` metric arrays and the
+        device-resident swap prediction window."""
+        content_cond = jnp.asarray(content_cond)
+        test_cond = jnp.asarray(test_cond)
+        gt_swap = jnp.asarray(gt_swap)
+        b = test_cond.shape[0]
+        gt_len = gt_swap.shape[2] if gt_swap.ndim == test_cond.ndim + 1 \
+            else gt_swap.shape[1]
+        n_forecast = nt_skip + gt_len
+        if self._batch_shard is not None:
+            content_cond, test_cond, gt_swap = (
+                self._pad(content_cond), self._pad(test_cond),
+                self._pad(gt_swap))
+        mets, pred = self._swap_jit(self.variables, content_cond, test_cond,
+                                    gt_swap, n_forecast, nt_skip, max_val)
+        return {k: np.asarray(v[:b]) for k, v in mets.items()}, pred[:b]
+
+
 def bn_reestimate_pass(ev: Evaluator, dataset, batch_size: int,
                        n_forecast: int, n_batches: int, seed: int = 0) -> int:
     """Refresh the evaluator's BN running stats from ``n_batches`` random
@@ -216,18 +307,29 @@ def batch_indices(n: int, batch_size: int, max_batches: Optional[int] = None,
             last_emit = now
 
 
-def pixel_metrics(pred: jnp.ndarray, gt: jnp.ndarray,
-                  max_val: float = 1.0) -> Dict[str, np.ndarray]:
-    """Per-sequence MSE / PSNR / SSIM (reference ``test/mnist/test.py:136-142``:
-    spatial mean, then channel mean, then time mean)."""
+def per_sequence_metrics(pred: jnp.ndarray, gt: jnp.ndarray,
+                         max_val: float = 1.0) -> Dict[str, jnp.ndarray]:
+    """Per-sequence MSE / PSNR / SSIM as ``(B,)`` *device* arrays
+    (reference ``test/mnist/test.py:136-142``: spatial mean, then channel
+    mean, then time mean).  Pure jnp — safe inside ``jit``, so the whole
+    metric reduction can fuse with the rollout that produced ``pred`` and
+    only O(batch) scalars ever cross the device->host tunnel."""
     mse = mse_per_frame(pred, gt)  # (B, T, C)
     psnr = psnr_from_mse(mse, max_val)
     ssim = ssim_per_frame(pred, gt, max_val)
     return {
-        "mse": np.asarray(mse.mean(axis=(1, 2))),
-        "psnr": np.asarray(psnr.mean(axis=(1, 2))),
-        "ssim": np.asarray(ssim.mean(axis=(1, 2))),
+        "mse": mse.mean(axis=(1, 2)),
+        "psnr": psnr.mean(axis=(1, 2)),
+        "ssim": ssim.mean(axis=(1, 2)),
     }
+
+
+def pixel_metrics(pred: jnp.ndarray, gt: jnp.ndarray,
+                  max_val: float = 1.0) -> Dict[str, np.ndarray]:
+    """Host-side variant of :func:`per_sequence_metrics` (fetches)."""
+    return {k: np.asarray(v)
+            for k, v in per_sequence_metrics(jnp.asarray(pred),
+                                             jnp.asarray(gt), max_val).items()}
 
 
 def to_uint8_nchw_last(x: np.ndarray) -> np.ndarray:
@@ -279,6 +381,100 @@ class FrameArchive:
                                 mse=np.concatenate(self._mse))
         log_fn(f"archived {self._n} sequence(s) (cap {self.cap}) to {xp_dir} "
                "— render with cli.visualize")
+
+
+class EvalProgress:
+    """Chunk-level checkpoint/resume for eval CLIs.
+
+    The heavy protocols (5,000-sequence 95-frame Moving MNIST) run for a
+    long time through a tunnel that can freeze mid-fetch (CLAUDE.md); the
+    reference has no eval resume story at all (``test/mnist/test.py`` is
+    one monolithic loop).  Here every completed batch's per-sequence metric
+    rows are persisted to ``<xp_dir>/<name>.progress.npz`` (tiny: a few
+    floats per sequence), so a supervised rerun with ``--resume`` skips the
+    already-scored batches instead of starting over.  The file carries a
+    protocol fingerprint (``meta``) and is deleted by :meth:`finalize` when
+    the protocol completes.
+
+    Usage::
+
+        prog = EvalProgress(xp_dir, "mnist_t95", meta, resume=args.resume)
+        for b, (idx, n_real) in enumerate(batch_indices(...)):
+            if prog.skip(b):
+                continue
+            ...score batch...
+            prog.add(b, {"mse": rows, ...})
+        results = prog.arrays()
+        prog.finalize()
+    """
+
+    def __init__(self, xp_dir: Optional[str], name: str, meta: Dict[str, Any],
+                 resume: bool = False, log_fn=print):
+        import json
+
+        self.path = (os.path.join(xp_dir, f"{name}.progress.npz")
+                     if xp_dir else None)
+        self.meta = {k: meta[k] for k in sorted(meta)}
+        self.done = 0
+        self._rows: Dict[str, list] = {}
+        if resume and self.path and os.path.exists(self.path):
+            with np.load(self.path, allow_pickle=False) as z:
+                stored = json.loads(str(z["meta"]))
+                if stored == {k: _json_safe(v) for k, v in self.meta.items()}:
+                    self.done = int(z["done"])
+                    self._rows = {k: [np.asarray(z[k])] for k in z.files
+                                  if k not in ("meta", "done")}
+                    log_fn(f"[eval] resume: {self.done} batch(es) already "
+                           f"scored in {self.path}")
+                else:
+                    log_fn("[eval] progress file does not match this "
+                           "protocol configuration — starting over")
+
+    def skip(self, b: int) -> bool:
+        return b < self.done
+
+    def add(self, b: int, rows: Dict[str, np.ndarray]) -> None:
+        """Record batch ``b``'s per-sequence metric rows and persist.
+
+        Batches must arrive in order (the skip/compute loop guarantees it);
+        the write is atomic (tmp + rename) so a kill mid-write leaves the
+        previous consistent state."""
+        import json
+
+        if b != self.done:
+            raise ValueError(f"batch {b} out of order (expected {self.done})")
+        for k, v in rows.items():
+            self._rows.setdefault(k, []).append(np.asarray(v, np.float64))
+        self.done += 1
+        if not self.path:
+            return
+        payload = {k: np.concatenate(v) for k, v in self._rows.items()}
+        payload["done"] = np.int64(self.done)
+        payload["meta"] = np.str_(json.dumps(
+            {k: _json_safe(v) for k, v in self.meta.items()}))
+        tmp = self.path + ".tmp"
+        np.savez(tmp, **payload)
+        # np.savez appends .npz when missing; it keeps explicit names as-is
+        # only if they end in .npz, so account for both.
+        src = tmp if os.path.exists(tmp) else tmp + ".npz"
+        os.replace(src, self.path)
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        """All persisted per-sequence rows, concatenated in batch order."""
+        return {k: np.concatenate(v) for k, v in self._rows.items()}
+
+    def finalize(self) -> None:
+        if self.path and os.path.exists(self.path):
+            os.unlink(self.path)
+
+
+def _json_safe(v):
+    """Round-trip-stable scalar for the progress fingerprint."""
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    return v
 
 
 def write_eval_json(xp_dir: str, protocol: str, means: Dict[str, float],

@@ -25,10 +25,10 @@ from spatiotemporal_variable_separation_tpu.data.moving_mnist import (
     load_mnist,
 )
 from spatiotemporal_variable_separation_tpu.eval.common import (
-    bn_reestimate_pass,
+    EvalProgress,
     Evaluator,
     batch_indices,
-    pixel_metrics,
+    bn_reestimate_pass,
     to_uint8_nchw_last,
 )
 
@@ -77,7 +77,8 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
              test_seed: int = 1, epoch: Optional[int] = None,
              max_batches: Optional[int] = None, model_bundle=None,
              images: Optional[np.ndarray] = None, mesh=None,
-             bn_reestimate: int = 0) -> Dict[str, float]:
+             bn_reestimate: int = 0, resume: bool = False,
+             save_arrays: bool = True, archive_cap: int = 0) -> Dict[str, float]:
     if model_bundle is None:
         model, variables, cfg = load_for_eval(
             xp_dir, name=str(epoch) if epoch is not None else None,
@@ -96,46 +97,62 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
     n_perms = math.factorial(cfg.n_object)
 
     bn_reestimate_pass(ev, test_set, batch_size, nt_test, bn_reestimate)
-    results = defaultdict(list)
-    arch = defaultdict(list)
     n = min(len(test_set), len(swap_set))
-    for idx, n_real in batch_indices(n, min(batch_size, n), max_batches):
+    prog = EvalProgress(
+        xp_dir, f"mnist_swap_t{nt_pred}",
+        meta=dict(n=n, batch_size=min(batch_size, n), nt_pred=nt_pred,
+                  nt_cond=nt_cond, n_perms=n_perms, test_seed=test_seed,
+                  epoch=-1 if epoch is None else epoch,
+                  max_batches=max_batches or 0, bn_reestimate=bn_reestimate),
+        resume=resume)
+    if prog.done and save_arrays:
+        print(f"[eval] note: resuming at batch {prog.done} — archived npz "
+              "arrays will cover only the remaining batches")
+    arch = defaultdict(list)
+    archived = 0
+    for b, (idx, n_real) in enumerate(
+            batch_indices(n, min(batch_size, n), max_batches)):
+        if prog.skip(b):
+            continue
         swap_items = [swap_set[i] for i in idx]
         x_cond = np.stack([it[0] for it in swap_items])
         gt_swap = np.stack([it[3] for it in swap_items])  # (B, n_perms, P, H, W, 1)
 
-        _, s_code = ev.forecast(x_cond, nt_test)
         test_items = [test_set[i] for i in idx]
         test_cond = np.stack([it[0] for it in test_items])
         test_target = np.stack([it[1] for it in test_items])
-        swap_pred = np.asarray(
-            ev.forecast(test_cond, nt_test, init_s_code=s_code)[0][:, nt_cond:],
-            np.float32)
 
-        per_perm = defaultdict(list)
-        for j in range(n_perms):
-            m = pixel_metrics(swap_pred, gt_swap[:, j])
-            for k, v in m.items():
-                per_perm[k].append(v)
-        results["mse"].append(np.min(np.stack(per_perm["mse"]), axis=0)[:n_real])
-        results["psnr"].append(np.max(np.stack(per_perm["psnr"]), axis=0)[:n_real])
-        results["ssim"].append(np.max(np.stack(per_perm["ssim"]), axis=0)[:n_real])
+        # one fused program: S from the permuted-digit composite, dynamics
+        # from the canonical test window, best-over-permutation metrics
+        # reduced on device — only (B,) scalars fetched.
+        mets, pred_dev = ev.score_swap(x_cond, test_cond, gt_swap,
+                                       nt_skip=nt_cond)
 
-        arch["content_swap"].append(to_uint8_nchw_last(swap_pred[:n_real]))
-        arch["gt_swap"].append(to_uint8_nchw_last(gt_swap[:n_real, 0]))
-        arch["cond_swap"].append(to_uint8_nchw_last(x_cond[:n_real]))
-        # reference archives the canonical test-set target window
-        # (test_disentanglement.py:160-166).
-        arch["target_swap"].append(to_uint8_nchw_last(test_target[:n_real]))
+        if save_arrays and (archive_cap == 0 or archived < archive_cap):
+            take = n_real if archive_cap == 0 \
+                else min(n_real, archive_cap - archived)
+            swap_pred = np.asarray(pred_dev, np.float32)
+            arch["content_swap"].append(to_uint8_nchw_last(swap_pred[:take]))
+            arch["gt_swap"].append(to_uint8_nchw_last(gt_swap[:take, 0]))
+            arch["cond_swap"].append(to_uint8_nchw_last(x_cond[:take]))
+            # reference archives the canonical test-set target window
+            # (test_disentanglement.py:160-166).
+            arch["target_swap"].append(to_uint8_nchw_last(test_target[:take]))
+            archived += take
 
-    means = {k: float(np.concatenate(v).mean()) for k, v in results.items()}
-    np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"),
-                        **{k: np.concatenate(v) for k, v in results.items()})
-    # archive layout parity (test_disentanglement.py:199-203)
-    for key, fname in [("gt_swap", "content_swap_gt.npz"),
-                       ("content_swap", "content_swap_test.npz"),
-                       ("cond_swap", "cond_swap_test.npz"),
-                       ("target_swap", "target_swap_test.npz")]:
-        np.savez_compressed(os.path.join(xp_dir, fname),
-                            **{key: np.concatenate(arch[key])})
+        prog.add(b, {k: v[:n_real] for k, v in mets.items()})
+
+    results = prog.arrays()
+    means = {k: float(v.mean()) for k, v in results.items()}
+    if save_arrays:
+        np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"), **results)
+        # archive layout parity (test_disentanglement.py:199-203)
+        for key, fname in [("gt_swap", "content_swap_gt.npz"),
+                           ("content_swap", "content_swap_test.npz"),
+                           ("cond_swap", "cond_swap_test.npz"),
+                           ("target_swap", "target_swap_test.npz")]:
+            np.savez_compressed(os.path.join(xp_dir, fname),
+                                **{key: np.concatenate(arch[key])
+                                   if arch[key] else np.zeros((0,), np.uint8)})
+    prog.finalize()
     return means

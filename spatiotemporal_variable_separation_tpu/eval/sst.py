@@ -18,6 +18,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
@@ -27,9 +28,21 @@ from spatiotemporal_variable_separation_tpu.eval.common import (
     batch_indices,
     bn_reestimate_pass,
 )
+from spatiotemporal_variable_separation_tpu.ops.metrics import frame_mse
 from spatiotemporal_variable_separation_tpu.ops.ssim import ssim_per_frame
 
 NT_PRED = 10
+
+
+@jax.jit
+def _renorm_ssim(pred, target, sn, mn, sc, mc, zmin, zmax):
+    """Per-frame SSIM of the per-zone min-max renormalized *physical*
+    fields (reference ``test.py:66-71``), entirely on device."""
+    p = (pred.astype(jnp.float32) * sn + mn) * sc + mc
+    t = (target * sn + mn) * sc + mc
+    p_n = (p - zmin) / (zmax - zmin)
+    t_n = (t - zmin) / (zmax - zmin)
+    return ssim_per_frame(p_n, t_n)
 
 
 def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
@@ -72,33 +85,52 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 64,
         zone_ids = np.array([it[6] for it in items])
 
         nt_target = target.shape[1]
-        if offset:
-            pred = np.asarray(ev.forecast(cond, nt_target + nt_cond)[0][:, nt_cond:],
-                              np.float64)
-        else:
-            pred = np.asarray(ev.forecast(cond, nt_target)[0], np.float64)
-
-        zmin = np.array([mins[z] for z in zone_ids])[:, None, None, None, None]
-        zmax = np.array([maxs[z] for z in zone_ids])[:, None, None, None, None]
         if not reference_broadcast:
-            # intended diagonal: frame t denormalized with stats of time t.
-            pred_phys = (pred * std_norm + mu_norm) * std_clim + mu_clim
-            target_phys = (target * std_norm + mu_norm) * std_clim + mu_clim
-            err = (pred_phys - target_phys) ** 2
-            seq_mse = err.mean(axis=(2, 3, 4))[:n_real]
+            # Device-side scoring (freeze-resistant eval path): the rollout
+            # frames never cross the tunnel outside the archive path.  The
+            # physical-space squared error factors exactly —
+            # ``p_phys - t_phys = (p - t) * std_norm * std_clim`` (the
+            # mu/clim terms cancel algebraically) — so the per-frame pixel
+            # MSE is reduced on device in normalized space and scaled on
+            # host in f64, with no f32 cancellation of ~300 K temperatures.
+            if offset:
+                pred_dev = ev.forecast(cond, nt_target + nt_cond)[0][:, nt_cond:]
+            else:
+                pred_dev = ev.forecast(cond, nt_target)[0]
+            target_dev = jnp.asarray(target, jnp.float32)
+            pix = np.asarray(frame_mse(pred_dev, target_dev), np.float64)
+            factor = (std_norm * std_clim)[:, :, 0, 0, 0].astype(np.float64)
+            seq_mse = (pix * factor ** 2)[:n_real]
             all_mse.append(seq_mse)
-            if archive is not None:  # physical-space fields
+            zmin_d = jnp.asarray([mins[z] for z in zone_ids],
+                                 jnp.float32)[:, None, None, None, None]
+            zmax_d = jnp.asarray([maxs[z] for z in zone_ids],
+                                 jnp.float32)[:, None, None, None, None]
+            # reference renormalizes the *physical* fields by the per-zone
+            # min/max of the normalized data (test.py:66-70) — kept as-is,
+            # computed on device.
+            ssim = np.asarray(_renorm_ssim(
+                pred_dev, target_dev, jnp.asarray(std_norm, jnp.float32),
+                jnp.asarray(mu_norm, jnp.float32),
+                jnp.asarray(std_clim, jnp.float32),
+                jnp.asarray(mu_clim, jnp.float32), zmin_d, zmax_d))
+            all_ssim.append(ssim.mean(axis=2)[:n_real])
+            if archive is not None:  # physical-space fields (opt-in fetch)
+                pred = np.asarray(pred_dev, np.float64)
+                pred_phys = (pred * std_norm + mu_norm) * std_clim + mu_clim
+                target_phys = (target * std_norm + mu_norm) * std_clim + mu_clim
                 archive.add(cond[:n_real], target_phys[:n_real],
                             pred_phys[:n_real],
                             mse=seq_mse[:, :NT_PRED].mean(axis=1))
-            # reference renormalizes the *physical* fields by the per-zone
-            # min/max of the normalized data (test.py:66-70) — kept as-is.
-            p_n = (pred_phys - zmin) / (zmax - zmin)
-            t_n = (target_phys - zmin) / (zmax - zmin)
-            ssim = np.asarray(ssim_per_frame(jnp.asarray(p_n, jnp.float32),
-                                             jnp.asarray(t_n, jnp.float32)))
-            all_ssim.append(ssim.mean(axis=2)[:n_real])
         else:
+            if offset:
+                pred = np.asarray(
+                    ev.forecast(cond, nt_target + nt_cond)[0][:, nt_cond:],
+                    np.float64)
+            else:
+                pred = np.asarray(ev.forecast(cond, nt_target)[0], np.float64)
+            zmin = np.array([mins[z] for z in zone_ids])[:, None, None, None, None]
+            zmax = np.array([maxs[z] for z in zone_ids])[:, None, None, None, None]
             # faithful reproduction of the reference broadcast (test.py:54-71):
             # forecast times t cross stat times j -> (B, T, J, H, W).
             p = pred[:, :, None, :, :, 0]

@@ -9,6 +9,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from spatiotemporal_variable_separation_tpu.checkpoint import load_for_eval
 from spatiotemporal_variable_separation_tpu.data.taxibj import TaxiBJ
 from spatiotemporal_variable_separation_tpu.eval.common import (
@@ -46,21 +48,26 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 128,
         from spatiotemporal_variable_separation_tpu.eval.common import FrameArchive
 
         archive = FrameArchive()
+    from spatiotemporal_variable_separation_tpu.ops.metrics import frame_mse
+
     all_mse = []
     for idx, n_real in batch_indices(len(test_set),
                                      min(batch_size, len(test_set)), max_batches):
         items = [test_set[i] for i in idx]
         cond = np.stack([c for c, _ in items])
         target = np.stack([t for _, t in items])
+        # per-frame MSE reduced on device: only (B, T) scalars are fetched;
+        # the forecast frames cross the tunnel only on the archive path.
         if offset:
-            pred = np.asarray(ev.forecast(cond, target.shape[1] + nt_cond)[0][:, nt_cond:])
+            pred_dev = ev.forecast(cond, target.shape[1] + nt_cond)[0][:, nt_cond:]
         else:
-            pred = np.asarray(ev.forecast(cond, target.shape[1])[0])
-        err = (pred.astype(np.float64) - target.astype(np.float64)) ** 2
-        seq_mse = err.mean(axis=(2, 3, 4))[:n_real]
+            pred_dev = ev.forecast(cond, target.shape[1])[0]
+        seq_mse = np.asarray(frame_mse(pred_dev, jnp.asarray(target)),
+                             np.float64)[:n_real]
         all_mse.append(seq_mse)
         if archive is not None:
-            archive.add(cond[:n_real], target[:n_real], pred[:n_real],
+            archive.add(cond[:n_real], target[:n_real],
+                        np.asarray(pred_dev[:n_real], np.float32),
                         mse=seq_mse[:, :NT_PRED].mean(axis=1))
     if archive is not None:
         archive.save(xp_dir)

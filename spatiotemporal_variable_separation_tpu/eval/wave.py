@@ -55,16 +55,10 @@ def evaluate(xp_dir: str, data_dir: str, batch_size: int = 256,
         fidx = (seq * nt + start)[:, None] + jnp.arange(seq_len)[None, :]
         return jnp.take(flat, fidx, axis=0)
 
-    @jax.jit
-    def frame_mse(pred, target):
-        # spatial(+channel) mean per frame; the reference's chained last-dim
-        # means reduce to the same thing for both full and partial grids.
-        # Reduced in f32 ON DEVICE (TPUs have no native f64; enabling x64
-        # would emulate).  The f32 mean over <=4096 squared errors carries
-        # ~sqrt(n)*eps ~ 4e-6 relative rounding — immaterial at the
-        # benchmark's ~5e-5 MSE scale; the cross-batch mean below is f64.
-        err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
-        return err.reshape(err.shape[0], err.shape[1], -1).mean(axis=2)
+    # spatial(+channel) mean per frame on device (ops.metrics.frame_mse);
+    # the reference's chained last-dim means reduce to the same thing for
+    # both full and partial grids.
+    from spatiotemporal_variable_separation_tpu.ops.metrics import frame_mse
 
     subsample = getattr(ds, "rand_w", None) is not None
 

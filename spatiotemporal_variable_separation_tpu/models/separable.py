@@ -67,6 +67,14 @@ class SeparableNetwork(nn.Module):
     # training-objective fusion: accumulate the forecast MSE per decoded
     # step instead of stacking frames (see compute_losses).
     fused_loss: bool = False
+    # Eval-decode auto-chunking: bound the S/skip tiles materialized per
+    # folded decode call (elements, not bytes).  The (horizon x batch)
+    # fold tiles every skip feature map horizon-fold times; at 256px
+    # skipco this broadcast alone exceeded HBM at default eval batch
+    # (measured 25 GB, BASELINE.md round-4) — chunking the horizon axis
+    # keeps the peak bounded with bitwise-identical results (BN is frozen
+    # in eval; each chunk sees the same per-item statistics).
+    eval_decode_tile_elems: int = 1 << 25
 
     # -- encoding ------------------------------------------------------
     def encode_s(self, cond: jnp.ndarray, train: bool = False):
@@ -115,20 +123,42 @@ class SeparableNetwork(nn.Module):
         """
         n, b = t_codes.shape[0], t_codes.shape[1]
         if self.decode_mode == "batched" or not train:
-            t_flat = t_codes.reshape((n * b,) + t_codes.shape[2:])
-            s_flat = _tile_leading(s_code, n)
-            skips_flat = None
-            if skips is not None:
-                skips_flat = [_tile_leading(s, n) for s in skips]
-
             def dec(mdl, s, t, sk):
                 return mdl.decoder(s, t, skip=sk, train=train)
 
             if self.remat and train:
                 dec = nn.remat(dec, prevent_cse=False,
                                static_argnums=())
-            frames = dec(self, s_flat, t_flat, skips_flat)
-            frames = frames.reshape((n, b) + frames.shape[1:])
+
+            # Auto-chunk (eval only): bound the input-side tiles (S code +
+            # skip maps, whose horizon-fold broadcast drives the decoder's
+            # peak footprint) per decode call.  All shapes are static at
+            # trace time, so the chunk split compiles to a fixed unrolled
+            # sequence of identical decoder calls.  chunk == n reproduces
+            # the single-call fold exactly (the common case: flat codes are
+            # tiny and never chunk).
+            per_item = s_code.size // b
+            if skips is not None:
+                per_item += sum(sk.size // b for sk in skips)
+            budget = max(self.eval_decode_tile_elems, 1)
+            chunk = n if train else min(n, max(1, budget // max(1, b * per_item)))
+
+            def fold(tc):
+                cn = tc.shape[0]
+                t_flat = tc.reshape((cn * b,) + tc.shape[2:])
+                s_flat = _tile_leading(s_code, cn)
+                skips_flat = None
+                if skips is not None:
+                    skips_flat = [_tile_leading(s, cn) for s in skips]
+                fr = dec(self, s_flat, t_flat, skips_flat)
+                return fr.reshape((cn, b) + fr.shape[1:])
+
+            if chunk >= n:
+                frames = fold(t_codes)
+            else:
+                frames = jnp.concatenate(
+                    [fold(t_codes[lo:lo + chunk]) for lo in range(0, n, chunk)],
+                    axis=0)
             return jnp.moveaxis(frames, 0, 1)
         # stepwise: reference-parity BatchNorm batch statistics (per step),
         # scanned over the horizon — one decoder trace regardless of n, so
