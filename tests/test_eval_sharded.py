@@ -59,6 +59,45 @@ def test_sharded_forecast_pads_indivisible_batch(tiny_bundle):
     np.testing.assert_array_equal(np.asarray(fc1s), np.asarray(fc8s))
 
 
+def test_sst_protocol_sharded_equals_single(tmp_path):
+    """Spatial-code family (encoderSST skips + ConvResnet) over the mesh:
+    the full SST eval protocol — device-side factored-denorm MSE and
+    renorm SSIM — must match the single-device run, including the batch
+    padding path (the eval-zone count is not a mesh multiple)."""
+    from spatiotemporal_variable_separation_tpu.core.config import (
+        ExperimentConfig as EC,
+    )
+    from spatiotemporal_variable_separation_tpu.data import synthetic_corpora as sc
+    from spatiotemporal_variable_separation_tpu.data.sst import SST
+    from spatiotemporal_variable_separation_tpu.eval.sst import evaluate
+    from spatiotemporal_variable_separation_tpu.models.factory import (
+        build_separable_network,
+    )
+
+    size = 16
+    sc.make_sst(str(tmp_path), zones=(17, 18), n_days=120, seed=5, size=size)
+    cfg = EC(data="sst", architecture="encoderSST",
+             decoder_architecture="decoderSST", mixing="concat", skipco=True,
+             code_size_s=8, code_size_t=8, res_hidden_size=8, n_blocks=1,
+             nt_cond=4, nt_pred=10, offset=0, zone_size=size,
+             precision="f32", batch_size=4)
+    model = build_separable_network(cfg)
+    cond = jnp.ones((1, 4, size, size, 1), jnp.float32)
+    variables = dict(model.init(jax.random.PRNGKey(0), cond, 2, train=False))
+    bundle = (model, variables, cfg)
+    zones = [17, 18]
+    test_set = SST(str(tmp_path), 4, 10, train=False, zones=zones, eval=True)
+    out = tmp_path / "xp"
+    out.mkdir()
+    m1 = evaluate(str(out), str(tmp_path), batch_size=6, model_bundle=bundle,
+                  zones=zones, test_set=test_set)
+    m8 = evaluate(str(out), str(tmp_path), batch_size=6, model_bundle=bundle,
+                  zones=zones, test_set=test_set, mesh=make_mesh(8))
+    assert m1.keys() == m8.keys()
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], rtol=1e-5, err_msg=k)
+
+
 def test_wave_protocol_sharded_equals_single(tmp_path, tiny_bundle):
     from spatiotemporal_variable_separation_tpu.data.wave_eq import generate_dataset
     from spatiotemporal_variable_separation_tpu.eval.wave import evaluate
