@@ -32,56 +32,72 @@ MODULE = "spatiotemporal_variable_separation_tpu"
 
 #: reference README.md:71-95 flag sets, one per benchmark; {d} = data_dir,
 #: {x} = xp_dir.  The eval command reproduces the paper protocol.
+# One escaping rule for every command string below: the ONLY f-string
+# fragment is the leading "python -m {MODULE}..." piece (which contains no
+# other braces); every fragment carrying a "{x}"/"{d}" placeholder is a
+# plain (non-f) continuation string, so nothing ever needs brace-escaping
+# and adding/removing an f-prefix on a flag line cannot corrupt a template
+# (tests/test_verify_corpus.py parses every printed command).
 RECIPES = {
     "mnist": (
-        f"python -m {MODULE}.cli.main --data mnist --epochs 800 --beta1 0.5"
+        f"python -m {MODULE}.cli.main"
+        " --data mnist --epochs 800 --beta1 0.5"
         " --scheduler --precision f32 --xp_dir {x} --data_dir {d}",
-        [f"python -m {MODULE}.cli.test_mnist --xp_dir {{x}} --data_dir {{d}}"
-         " --nt_pred 10",
-         f"python -m {MODULE}.cli.test_mnist --xp_dir {{x}} --data_dir {{d}}"
-         " --nt_pred 95",
-         f"python -m {MODULE}.cli.test_mnist_disentanglement --xp_dir {{x}}"
-         " --data_dir {d} --nt_pred 10"],
+        [f"python -m {MODULE}.cli.test_mnist"
+         " --xp_dir {x} --data_dir {d} --nt_pred 10",
+         f"python -m {MODULE}.cli.test_mnist"
+         " --xp_dir {x} --data_dir {d} --nt_pred 95",
+         f"python -m {MODULE}.cli.test_mnist_disentanglement"
+         " --xp_dir {x} --data_dir {d} --nt_pred 10"],
     ),
     "chairs": (
-        f"python -m {MODULE}.cli.main --data chairs --epochs 120"
+        f"python -m {MODULE}.cli.main"
+        " --data chairs --epochs 120"
         " --gain_resnet 0.71 --code_size_t 10 --architecture resnet"
         " --decoder_architecture dcgan --lamb_ae 1 --lamb_s 1"
         " --xp_dir {x} --data_dir {d}",
-        [f"python -m {MODULE}.cli.test_chairs_disentanglement --xp_dir {{x}}"
-         " --data_dir {d} --nt_pred 10"],
+        [f"python -m {MODULE}.cli.test_chairs_disentanglement"
+         " --xp_dir {x} --data_dir {d} --nt_pred 10"],
     ),
     "taxibj": (
-        f"python -m {MODULE}.cli.main --data taxibj --nt_cond 4 --nt_pred 4"
+        f"python -m {MODULE}.cli.main"
+        " --data taxibj --nt_cond 4 --nt_pred 4"
         " --lr 4e-5 --batch_size 100 --epochs 550 --scheduler"
         " --scheduler_decay 0.2 --scheduler_milestones 250 300 350 400 450"
         " --offset 4 --gain_resnet 0.71 --architecture vgg --lamb_ae 45"
         " --lamb_s 0.0001 --xp_dir {x} --data_dir {d}",
-        [f"python -m {MODULE}.cli.test_taxibj --xp_dir {{x}} --data_dir {{d}}"],
+        [f"python -m {MODULE}.cli.test_taxibj"
+         " --xp_dir {x} --data_dir {d}"],
     ),
     "sst": (
-        f"python -m {MODULE}.cli.main --data sst --nt_cond 4 --nt_pred 6"
+        f"python -m {MODULE}.cli.main"
+        " --data sst --nt_cond 4 --nt_pred 6"
         " --epochs 30 --code_size_t 64 --code_size_s 196 --gain_res 0.2"
         " --offset 0 --gain_resnet 0.71 --architecture encoderSST"
         " --decoder_architecture decoderSST --lamb_ae 1 --lamb_s 100"
         " --lamb_t 5e-6 --skipco --n_blocks 2 --xp_dir {x} --data_dir {d}",
-        [f"python -m {MODULE}.cli.test_sst --xp_dir {{x}} --data_dir {{d}}"],
+        [f"python -m {MODULE}.cli.test_sst"
+         " --xp_dir {x} --data_dir {d}"],
     ),
     "wave": (
-        f"python -m {MODULE}.cli.main --data wave --nt_cond 5 --nt_pred 20"
+        f"python -m {MODULE}.cli.main"
+        " --data wave --nt_cond 5 --nt_pred 20"
         " --epochs 250 --batch_size 128 --code_size_t 32 --code_size_s 32"
         " --gain_resnet 0.71 --offset 5 --n_blocks 3 --mixing mul"
         " --architecture mlp --enc_hidden_size 1200 --dec_hidden_size 1200"
         " --dec_n_layers 4 --lamb_ae 1 --xp_dir {x} --data_dir {d}",
-        [f"python -m {MODULE}.cli.test_wave --xp_dir {{x}} --data_dir {{d}}"],
+        [f"python -m {MODULE}.cli.test_wave"
+         " --xp_dir {x} --data_dir {d}"],
     ),
     "wave_partial": (
-        f"python -m {MODULE}.cli.main --data wave_partial --nt_cond 5"
+        f"python -m {MODULE}.cli.main"
+        " --data wave_partial --nt_cond 5"
         " --nt_pred 20 --epochs 250 --batch_size 128 --code_size_t 32"
         " --code_size_s 32 --gain_resnet 0.71 --offset 5 --n_blocks 3"
         " --mixing mul --architecture mlp --enc_hidden_size 2400"
         " --dec_hidden_size 150 --lamb_ae 1 --xp_dir {x} --data_dir {d}",
-        [f"python -m {MODULE}.cli.test_wave --xp_dir {{x}} --data_dir {{d}}"],
+        [f"python -m {MODULE}.cli.test_wave"
+         " --xp_dir {x} --data_dir {d}"],
     ),
 }
 
