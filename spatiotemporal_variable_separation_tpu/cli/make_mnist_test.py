@@ -16,12 +16,17 @@ def main(argv=None):
     p.add_argument("--digits", type=int, metavar="NUM", default=2)
     p.add_argument("--frame_size", type=int, metavar="SIZE", default=64)
     p.add_argument("--max_speed", type=int, metavar="SPEED", default=4)
+    p.add_argument("--n_seq", type=int, metavar="N", default=None,
+                   help="Force the sequence count (default: corpus//digits, "
+                        "the reference's 5,000 on real MNIST). Above the "
+                        "default, digits wrap modulo the corpus — runs the "
+                        "paper-scale protocol on the small stand-in corpus.")
     args = p.parse_args(argv)
 
     from spatiotemporal_variable_separation_tpu.data.moving_mnist import make_test_set
 
     path = make_test_set(args.data_dir, args.seq_len, args.seed, args.digits,
-                         args.frame_size, args.max_speed)
+                         args.frame_size, args.max_speed, n_seq=args.n_seq)
     print(f"Saved testset at {path}")
 
 

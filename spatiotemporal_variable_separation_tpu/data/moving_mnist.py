@@ -334,7 +334,8 @@ class MovingMNIST:
 
 def make_test_set(data_dir: str, seq_len: int = 100, seed: int = 42,
                   digits: int = 2, frame_size: int = 64, max_speed: int = 4,
-                  out_dir: Optional[str] = None) -> str:
+                  out_dir: Optional[str] = None,
+                  n_seq: Optional[int] = None) -> str:
     """Generate the canonical Moving MNIST test npz
     (reference ``preprocessing/mnist/make_test_set.py``).
 
@@ -342,11 +343,20 @@ def make_test_set(data_dir: str, seq_len: int = 100, seed: int = 42,
     randints per digit per sequence) matches the reference, so positions,
     speeds, labels and digit assignment are identical for a given seed.
     Saves ``sequences`` (T, N, 1, H, W) uint8, ``latents`` (T, N, digits, 4),
-    ``labels`` (N, digits), ``digits`` (N, digits, 28, 28)."""
+    ``labels`` (N, digits), ``digits`` (N, digits, 28, 28).
+
+    ``n_seq`` (extension, default ``len(images) // digits`` = the
+    reference's count): force the number of sequences.  Above the default
+    the digit assignment wraps modulo the corpus (distinct trajectories,
+    reused digit images) — this is how the paper-scale 5,000-sequence
+    protocol runs on the stand-in corpus, whose test split holds only 500
+    digits.  At or below the default the output is byte-identical to the
+    unforced generator truncated to ``n_seq``."""
     rng = np.random.RandomState(seed)
     images, labels = load_mnist(data_dir, train=False)
     digits_idx = rng.permutation(len(images))
-    n_seq = len(images) // digits
+    if n_seq is None:
+        n_seq = len(images) // digits
     n_traj = n_seq * digits
 
     # Initial conditions in the reference's exact draw order (sequence-major,
@@ -364,7 +374,7 @@ def make_test_set(data_dir: str, seq_len: int = 100, seed: int = 42,
                                 max_speed, True, init=init)
     latents = trajs.reshape(n_seq, digits, seq_len, 4)
 
-    pick = digits_idx[: n_seq * digits].reshape(n_seq, digits)
+    pick = digits_idx[np.arange(n_seq * digits) % len(images)].reshape(n_seq, digits)
     seq_objects = images[pick]
     seq_labels = labels[pick].astype(np.uint8)
     # composite + quantize per chunk: peak memory stays ~chunk-sized float32

@@ -133,6 +133,34 @@ def test_train_dataset_generates(mnist_dir):
     assert batch.max() <= 1.0 and batch.min() >= 0.0
 
 
+def test_make_test_set_n_seq_override(mnist_dir, tmp_path):
+    """``n_seq`` extension: below the corpus bound the output is a byte
+    -identical truncation of the unforced generator; above it, digits wrap
+    modulo the corpus (the paper-scale 5,000-sequence protocol on the
+    stand-in corpus) with distinct trajectories throughout."""
+    base = np.load(make_test_set(mnist_dir, seq_len=6, seed=42, digits=2),
+                   allow_pickle=True)
+    small = np.load(make_test_set(mnist_dir, seq_len=6, seed=42, digits=2,
+                                  out_dir=str(tmp_path / "small"), n_seq=4),
+                    allow_pickle=True)
+    np.testing.assert_array_equal(small["sequences"],
+                                  base["sequences"][:, :4])
+    np.testing.assert_array_equal(small["latents"], base["latents"][:, :4])
+    np.testing.assert_array_equal(small["labels"], base["labels"][:4])
+
+    # fixture has 20 test digits -> unforced n_seq = 10; force 25 (wraps)
+    big = np.load(make_test_set(mnist_dir, seq_len=6, seed=42, digits=2,
+                                out_dir=str(tmp_path / "big"), n_seq=25),
+                  allow_pickle=True)
+    assert big["sequences"].shape == (6, 25, 1, 64, 64)
+    assert big["latents"].shape == (6, 25, 2, 4)
+    # the prefix still matches the canonical draw order
+    np.testing.assert_array_equal(big["latents"][:, :10], base["latents"])
+    # wrapped sequences reuse digit images but carry fresh trajectories
+    flat = big["latents"].transpose(1, 2, 0, 3).reshape(25, -1)
+    assert np.unique(flat, axis=0).shape[0] == 25
+
+
 def test_test_set_videos_match_latent_replay(mnist_dir):
     """The stored sequences must equal compositing the stored latents with
     the stored digit images (the disentanglement eval replays latents)."""
