@@ -177,7 +177,26 @@ def supervise(train_args, stall_timeout: float = 600.0,
                 log_fn(f"[supervise] no output for {stall_timeout:.0f}s — "
                        f"killing pid {child.pid} and resuming")
                 child.send_signal(signal.SIGTERM)  # cooperative save attempt
-                if not _wait_draining(child, sel, fd, emit, grace):
+                # A child that never got past its silent startup is almost
+                # certainly still inside the blocking remote-compile RPC:
+                # Python defers the SIGTERM handler until that C call
+                # returns, so a short grace here devolves into SIGKILL
+                # mid-compile — the known tunnel-wedge trigger (CLAUDE.md).
+                # Give startup-phase stalls a compile-scale window for the
+                # RPC to return and the handler to run; the executable is
+                # then in the persistent compile cache, so the relaunch
+                # starts instantly instead of recompiling into the same
+                # stall.
+                # "startup" = nothing printed since the first few minutes
+                # (banners/config lines land well inside 180 s; the first
+                # post-compile line is what ends the phase).
+                in_startup = last_output <= started + 180.0
+                kill_grace = max(grace, 1800.0) if in_startup else grace
+                if in_startup and kill_grace > grace:
+                    log_fn("[supervise] child is still in silent startup "
+                           f"(likely mid-compile) — waiting up to "
+                           f"{kill_grace:.0f}s for the SIGTERM to land")
+                if not _wait_draining(child, sel, fd, emit, kill_grace):
                     child.kill()
                     child.wait()
                 break

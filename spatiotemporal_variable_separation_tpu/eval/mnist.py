@@ -112,8 +112,10 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
 
     results = prog.arrays()
     means = {k: float(v.mean()) for k, v in results.items()}
+    # per-sequence metric arrays are a few KB — archived unconditionally
+    # (reference parity, test.py:152-157); only the frame stacks are gated.
+    np.savez_compressed(os.path.join(xp_dir, "results.npz"), **results)
     if save_arrays:
-        np.savez_compressed(os.path.join(xp_dir, "results.npz"), **results)
         for key, fname in [("predictions", "predictions.npz"), ("gt", "gt.npz"),
                            ("cond", "cond.npz"), ("content_swap", "content_swap.npz"),
                            ("cond_swap", "cond_swap.npz"),

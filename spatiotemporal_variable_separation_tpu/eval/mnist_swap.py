@@ -144,8 +144,10 @@ def evaluate(xp_dir: str, data_dir: str, nt_pred: int, batch_size: int = 16,
 
     results = prog.arrays()
     means = {k: float(v.mean()) for k, v in results.items()}
+    # per-sequence metric arrays are tiny — archived unconditionally;
+    # only the frame stacks are gated on save_arrays.
+    np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"), **results)
     if save_arrays:
-        np.savez_compressed(os.path.join(xp_dir, "results_swap.npz"), **results)
         # archive layout parity (test_disentanglement.py:199-203)
         for key, fname in [("gt_swap", "content_swap_gt.npz"),
                            ("content_swap", "content_swap_test.npz"),
