@@ -21,12 +21,18 @@ def main(argv=None):
                         "the reference's 5,000 on real MNIST). Above the "
                         "default, digits wrap modulo the corpus — runs the "
                         "paper-scale protocol on the small stand-in corpus.")
+    p.add_argument("--out_dir", type=str, metavar="DIR", default=None,
+                   help="Write the npz here instead of data_dir (the file "
+                        "name is fixed, so a paper-scale --n_seq set needs "
+                        "its own directory to coexist with the canonical "
+                        "one).")
     args = p.parse_args(argv)
 
     from spatiotemporal_variable_separation_tpu.data.moving_mnist import make_test_set
 
     path = make_test_set(args.data_dir, args.seq_len, args.seed, args.digits,
-                         args.frame_size, args.max_speed, n_seq=args.n_seq)
+                         args.frame_size, args.max_speed, n_seq=args.n_seq,
+                         out_dir=args.out_dir)
     print(f"Saved testset at {path}")
 
 
