@@ -94,6 +94,53 @@ def entry_traffic(hlo_text: str):
     return rows
 
 
+def parse_chrome_trace(trace_dir: str, n_steps: int):
+    """Trace-derived per-op device time and bytes_accessed from the
+    ``*.trace.json.gz`` the profiler writes (Chrome trace format — no
+    xprof needed).  Events on the '/device:TPU:0' process: tid 2 = XLA
+    module executions, tid 3 = XLA ops with ``device_duration`` and the
+    device's ``bytes_accessed`` per execution."""
+    import glob
+    import gzip
+    import os
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return None
+    ev = json.load(gzip.open(paths[0]))["traceEvents"]
+    dev_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e.get("args", {}).get("name", "")}
+    mods = [e for e in ev if e.get("pid") in dev_pids and e.get("tid") == 2
+            and e.get("ph") == "X"]
+    ops = [e for e in ev if e.get("pid") in dev_pids and e.get("tid") == 3
+           and e.get("ph") == "X"]
+    by_op = defaultdict(lambda: [0.0, 0, 0])   # us, bytes, count
+    by_cat = defaultdict(lambda: [0.0, 0])
+    for e in ops:
+        a = e.get("args", {})
+        b = int(a.get("bytes_accessed", 0))
+        r = by_op[e["name"]]
+        r[0] += e["dur"]
+        r[1] += b
+        r[2] += 1
+        c = by_cat[a.get("hlo_category", "?")]
+        c[0] += e["dur"]
+        c[1] += b
+    return {
+        "module_ms": sum(e["dur"] for e in mods) / max(len(mods), 1) / 1e3,
+        "busy_ms": sum(r[0] for r in by_op.values()) / n_steps / 1e3,
+        "bytes_gb": sum(r[1] for r in by_op.values()) / n_steps / 1e9,
+        "by_cat": sorted(((c, t / n_steps / 1e3, b / n_steps / 1e9)
+                          for c, (t, b) in by_cat.items()),
+                         key=lambda r: -r[1]),
+        "by_op": sorted(((n, t / n_steps / 1e3, b / n_steps / 1e9, c // n_steps)
+                         for n, (t, b, c) in by_op.items()),
+                        key=lambda r: -r[2]),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -172,6 +219,7 @@ def main():
         trace_files += [os.path.join(root, f) for f in files]
 
     ca = compiled.cost_analysis()
+    tr = None if trace_err else parse_chrome_trace(trace_dir, 3)
     print(json.dumps({
         "step_ms": round(step_ms, 2),
         "static_hbm_gb_per_step": round(total / 1e9, 3),
@@ -182,11 +230,21 @@ def main():
         "trace_dir": trace_dir if not trace_err else None,
         "trace_error": trace_err,
         "trace_files": len(trace_files),
+        "trace_module_ms": round(tr["module_ms"], 2) if tr else None,
+        "trace_busy_ms": round(tr["busy_ms"], 2) if tr else None,
+        "trace_bytes_gb": round(tr["bytes_gb"], 2) if tr else None,
     }))
     print("\ntop-12 HBM byte producers (in+out GB per step, static table):")
     for name, opcode, in_b, out_b, meta in rows[:12]:
         gb = (in_b + out_b) / 1e9
         print(f"  {gb:7.3f} GB  {opcode:12s} {name:28s} {meta[:60]}")
+    if tr:
+        print("\ntrace-derived, per step — by hlo_category (ms, GB):")
+        for cat, t_ms, b_gb in tr["by_cat"][:12]:
+            print(f"  {t_ms:7.3f} ms  {b_gb:7.3f} GB  {cat}")
+        print("\ntrace-derived top-10 byte producers (GB, ms, launches):")
+        for name, t_ms, b_gb, cnt in tr["by_op"][:10]:
+            print(f"  {b_gb:7.4f} GB  {t_ms:7.4f} ms  x{cnt:4d}  {name[:60]}")
 
 
 if __name__ == "__main__":
