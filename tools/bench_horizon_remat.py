@@ -91,11 +91,45 @@ def main():
         n_blocks=1, nt_cond=5, nt_pred=10, offset=5, batch_size=128,
         precision="bf16", seed=0, fused_loss=True, lamb_s_norm=0.1)
 
+    def guarded(name, cfg, tries=2):
+        """Record compile-time HBM OOMs and tunnel transport failures as
+        result rows instead of dying ('does the program fit/compile' is
+        half of what this bench measures), and print each row as it
+        lands so a later failure cannot lose earlier measurements."""
+        import re
+
+        row = None
+        for attempt in range(tries):
+            try:
+                row = measure(cfg)
+                break
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                if "Ran out of memory" in msg:
+                    m = re.search(r"Used ([\d.]+)G of ([\d.]+)G hbm", msg)
+                    row = {"oom": True,
+                           "needed_gb": float(m.group(1)) if m else None,
+                           "hbm_gb": float(m.group(2)) if m else None}
+                    break
+                row = {"compile_error": msg.splitlines()[-1][:200],
+                       "attempts": attempt + 1}
+        print(f"ROW {name}: {json.dumps(row)}", flush=True)
+        return row
+
     rows = {}
-    rows["t10_flagship"] = measure(flagship)
+    rows["t10_flagship"] = guarded("t10_flagship", flagship)
     long_cfg = dataclasses.replace(flagship, nt_pred=95)
-    rows["t95"] = measure(long_cfg)
-    rows["t95_remat"] = measure(dataclasses.replace(long_cfg, remat=True))
+    rows["t95"] = guarded("t95", long_cfg)
+    # batch-32 pair: if batch-128 no-remat does not fit, this is the
+    # apples-to-apples remat time-cost comparison at the long horizon.
+    b32 = dataclasses.replace(long_cfg, batch_size=32)
+    rows["t95_b32"] = guarded("t95_b32", b32)
+    rows["t95_b32_remat"] = guarded(
+        "t95_b32_remat", dataclasses.replace(b32, remat=True))
+    # the heaviest compile goes last: a compile-helper/tunnel failure here
+    # (observed once) then cannot cost the rows above.
+    rows["t95_remat"] = guarded(
+        "t95_remat", dataclasses.replace(long_cfg, remat=True))
     print(json.dumps(rows, indent=2))
 
 
