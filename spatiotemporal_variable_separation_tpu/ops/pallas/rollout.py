@@ -18,12 +18,16 @@ differentiate fine through the scan; this kernel serves evaluation and
 serving paths.  ``mlp_resnet_rollout_reference`` is the jittable pure-JAX
 equivalent used for golden tests and as the non-TPU fallback.
 
-Measured on a v5e chip (code 20, hidden 512, 1 block, horizon 100): the
-kernel is bitwise-exact vs the scan but ~10x slower (4.5 ms vs 0.45 ms;
-~45 us/step fixed cost inside the kernel vs ~4.5 us/step for XLA's scan,
-whose weights already stay VMEM-resident at these sizes).  The default
-integration path therefore remains ``lax.scan``; this kernel is kept as a
-validated building block for future fused rollout+decode serving kernels.
+Measured on a v5e chip (code 20, hidden 512, 1 block, horizon 100,
+batch 64 — ``tools/bench_serving_pallas.py``, round 5): bitwise-exact vs
+the scan and 0.89x its time (0.385 vs 0.431 ms; the round-2 "~10x
+slower" reading at a 128-wide batch tile does not reproduce — the
+per-step fixed cost has since been fused away by the toolchain).  The
+rollout is only ~3.5% of the serving forward at that signature, so the
+contemplated fused rollout+decode serving kernel is retired with numbers
+(BASELINE.md "Round-5 serving"); XLA's conv pipeline keeps the decode.
+The default integration path remains ``lax.scan``; this kernel stays as
+a validated building block.
 """
 
 from __future__ import annotations
