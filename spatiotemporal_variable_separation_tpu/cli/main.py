@@ -45,6 +45,19 @@ def main(argv=None):
     del args.resume, args.log_every, args.profile, args.monitor_stability, \
         args.platform
     cfg = config_from_args(args).validate()
+    if cfg.nt_pred + cfg.offset > 24 and not cfg.remat:
+        # Measured round 5 (BASELINE.md "long-horizon-under-grad"): at
+        # t+95 the un-rematerialized rollout-under-grad needs 1.9x the
+        # v5e's HBM at the flagship batch and is 2.9x slower than remat
+        # even where it fits (spill traffic beats recompute).
+        print("[warn] long training horizon "
+              f"(nt_pred+offset={cfg.nt_pred + cfg.offset} > 24) without "
+              "--remat: the rollout-under-grad stores every decoder "
+              "activation per step — expect HBM exhaustion at production "
+              "batch sizes, and slower steps even where it fits. "
+              "--remat is strictly better at every measured point "
+              "(BASELINE.md 'Round-5: long-horizon-under-grad').",
+              flush=True)
     os.makedirs(cfg.xp_dir, exist_ok=True)
     # params.json dump (main.py:104-106) — eval CLIs reload this.  On
     # --resume an existing dump is kept: it may carry the steps_per_epoch
